@@ -1,0 +1,135 @@
+"""ResNet encoders (NHWC, Flax linen) with torchvision-topology parity.
+
+The reference's only model is ``segmentation_models_pytorch.Unet`` whose
+encoder is a torchvision-style ResNet (`/root/reference/d3f/train_deep_fake/
+lit_module.py:53-59`, ``encoder_name="resnet34"`` in every config). This module
+rebuilds that encoder family TPU-first:
+
+* NHWC layout (dense lane dimension for the VPU; XLA picks MXU-friendly conv
+  layouts),
+* batch norm with torch semantics (eps 1e-5, torch momentum 0.1 == flax
+  momentum 0.9, batch stats in training mode),
+* init parity with torchvision: He-normal fan-out for convs, ones/zeros for BN,
+* returns the 6-element feature pyramid smp's UnetDecoder consumes
+  (identity, conv1-relu at 1/2, layer1 at 1/4, layer2 at 1/8, layer3 at 1/16,
+  layer4 at 1/32).
+
+Supported: resnet18/34 (BasicBlock) and resnet50 (Bottleneck), covering the
+reference's configurable ``encoder_name``.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+# name -> (block kind, blocks per stage, stage base widths, expansion)
+RESNET_SPECS = {
+    "resnet18": ("basic", (2, 2, 2, 2), (64, 128, 256, 512), 1),
+    "resnet34": ("basic", (3, 4, 6, 3), (64, 128, 256, 512), 1),
+    "resnet50": ("bottleneck", (3, 4, 6, 3), (64, 128, 256, 512), 4),
+}
+
+# torchvision kaiming_normal_(mode="fan_out", nonlinearity="relu")
+_conv_init = nn.initializers.variance_scaling(2.0, "fan_out", "normal")
+
+
+def _bn(name: str, train: bool):
+    return nn.BatchNorm(name=name, use_running_average=not train,
+                        momentum=0.9, epsilon=1e-5, dtype=jnp.float32)
+
+
+class BasicBlock(nn.Module):
+    """3x3 -> 3x3 residual block (torchvision BasicBlock)."""
+
+    features: int
+    strides: int = 1
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool) -> jax.Array:
+        residual = x
+        y = nn.Conv(self.features, (3, 3), strides=(self.strides,) * 2,
+                    padding=1, use_bias=False, kernel_init=_conv_init,
+                    name="conv1")(x)
+        y = _bn("bn1", train)(y)
+        y = nn.relu(y)
+        y = nn.Conv(self.features, (3, 3), padding=1, use_bias=False,
+                    kernel_init=_conv_init, name="conv2")(y)
+        y = _bn("bn2", train)(y)
+        if self.strides != 1 or x.shape[-1] != self.features:
+            residual = nn.Conv(self.features, (1, 1),
+                               strides=(self.strides,) * 2, use_bias=False,
+                               kernel_init=_conv_init,
+                               name="downsample_conv")(x)
+            residual = _bn("downsample_bn", train)(residual)
+        return nn.relu(y + residual)
+
+
+class Bottleneck(nn.Module):
+    """1x1 -> 3x3 -> 1x1 residual block (torchvision Bottleneck, expansion 4)."""
+
+    features: int
+    strides: int = 1
+    expansion: int = 4
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool) -> jax.Array:
+        out = self.features * self.expansion
+        residual = x
+        y = nn.Conv(self.features, (1, 1), use_bias=False,
+                    kernel_init=_conv_init, name="conv1")(x)
+        y = nn.relu(_bn("bn1", train)(y))
+        y = nn.Conv(self.features, (3, 3), strides=(self.strides,) * 2,
+                    padding=1, use_bias=False, kernel_init=_conv_init,
+                    name="conv2")(y)
+        y = nn.relu(_bn("bn2", train)(y))
+        y = nn.Conv(out, (1, 1), use_bias=False, kernel_init=_conv_init,
+                    name="conv3")(y)
+        y = _bn("bn3", train)(y)
+        if self.strides != 1 or x.shape[-1] != out:
+            residual = nn.Conv(out, (1, 1), strides=(self.strides,) * 2,
+                               use_bias=False, kernel_init=_conv_init,
+                               name="downsample_conv")(x)
+            residual = _bn("downsample_bn", train)(residual)
+        return nn.relu(y + residual)
+
+
+class ResNetEncoder(nn.Module):
+    """Feature-pyramid ResNet encoder (smp ``get_stages`` semantics).
+
+    Returns ``[x, c1, c2, c3, c4, c5]`` at strides (1, 2, 4, 8, 16, 32).
+    """
+
+    encoder_name: str = "resnet34"
+    in_channels: int = 3
+
+    @property
+    def out_channels(self) -> Sequence[int]:
+        kind, _, widths, exp = RESNET_SPECS[self.encoder_name]
+        return (self.in_channels, 64) + tuple(w * exp for w in widths)
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = True) -> list[jax.Array]:
+        kind, stage_blocks, widths, exp = RESNET_SPECS[self.encoder_name]
+        block_cls = BasicBlock if kind == "basic" else Bottleneck
+
+        features = [x]
+        y = nn.Conv(64, (7, 7), strides=(2, 2), padding=3, use_bias=False,
+                    kernel_init=_conv_init, name="conv1")(x)
+        y = nn.relu(_bn("bn1", train)(y))
+        features.append(y)
+
+        # torch MaxPool2d(kernel_size=3, stride=2, padding=1); -inf padding so
+        # the pad never wins the max.
+        y = nn.max_pool(y, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+
+        for stage_idx, (n_blocks, width) in enumerate(zip(stage_blocks, widths)):
+            for block_idx in range(n_blocks):
+                strides = 2 if (stage_idx > 0 and block_idx == 0) else 1
+                y = block_cls(features=width, strides=strides,
+                              name=f"layer{stage_idx + 1}_{block_idx}")(y, train)
+            features.append(y)
+        return features

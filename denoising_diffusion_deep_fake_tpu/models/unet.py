@@ -1,0 +1,121 @@
+"""U-Net (smp-topology parity) in Flax linen, NHWC, TPU-first.
+
+Rebuilds ``segmentation_models_pytorch.Unet(encoder_name=..., in_channels=3,
+classes=3, activation=None)`` — the reference's only model
+(`/root/reference/d3f/train_deep_fake/lit_module.py:53-59`). Crucially the
+network has **no timestep/noise-level conditioning**: it is a blind
+x0-predictor for any noise level, which is why a single forward pass suffices
+at swap inference (SURVEY.md §2 model note).
+
+Topology parity (resnet34 default):
+* encoder pyramid channels (3, 64, 64, 128, 256, 512),
+* decoder channels (256, 128, 64, 32, 16); each block: 2x nearest upsample,
+  concat skip, two Conv3x3+BN+ReLU; the deepest skip (layer4) is the head
+  input, the last block has no skip,
+* segmentation head Conv3x3 -> ``classes`` channels, no activation.
+
+Init parity with smp's ``initialize()``: decoder convs kaiming-uniform fan-in,
+head conv xavier-uniform, all biases zero, BN ones/zeros.
+
+TPU notes: nearest x2 upsampling is two ``jnp.repeat``s (layout-preserving,
+fuses with the following concat+conv under XLA); all convs run on the MXU in
+whatever layout XLA picks; use ``dtype=bfloat16`` for the compute dtype to
+double MXU throughput while keeping fp32 params.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from denoising_diffusion_deep_fake_tpu.models.resnet import (
+    RESNET_SPECS,
+    ResNetEncoder,
+)
+
+# smp initialize_decoder: kaiming_uniform_(mode="fan_in", nonlinearity="relu")
+_decoder_init = nn.initializers.variance_scaling(2.0, "fan_in", "uniform")
+# smp initialize_head: xavier_uniform_
+_head_init = nn.initializers.variance_scaling(1.0, "fan_avg", "uniform")
+
+
+def _upsample_nearest_2x(x: jax.Array) -> jax.Array:
+    """Nearest-neighbor 2x upsample of NHWC (== torch interpolate 'nearest')."""
+    x = jnp.repeat(x, 2, axis=1)
+    return jnp.repeat(x, 2, axis=2)
+
+
+class Conv2dReLU(nn.Module):
+    """Conv3x3 (no bias) -> BN -> ReLU, smp's decoder building block."""
+
+    features: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool) -> jax.Array:
+        y = nn.Conv(self.features, (3, 3), padding=1, use_bias=False,
+                    kernel_init=_decoder_init, dtype=self.dtype,
+                    name="conv")(x)
+        y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5, dtype=jnp.float32, name="bn")(y)
+        return nn.relu(y)
+
+
+class DecoderBlock(nn.Module):
+    """Upsample 2x, concat skip, two Conv2dReLU (smp DecoderBlock)."""
+
+    features: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, skip: jax.Array | None,
+                 train: bool) -> jax.Array:
+        y = _upsample_nearest_2x(x)
+        if skip is not None:
+            y = jnp.concatenate([y, skip.astype(y.dtype)], axis=-1)
+        y = Conv2dReLU(self.features, dtype=self.dtype, name="conv1")(y, train)
+        y = Conv2dReLU(self.features, dtype=self.dtype, name="conv2")(y, train)
+        return y
+
+
+class Unet(nn.Module):
+    """smp-parity U-Net: ResNet encoder + (256,128,64,32,16) decoder."""
+
+    encoder_name: str = "resnet34"
+    decoder_channels: Sequence[int] = (256, 128, 64, 32, 16)
+    in_channels: int = 3
+    classes: int = 3
+    dtype: Any = jnp.float32  # compute dtype; params stay fp32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = True) -> jax.Array:
+        features = ResNetEncoder(encoder_name=self.encoder_name,
+                                 in_channels=self.in_channels,
+                                 name="encoder")(x.astype(self.dtype), train)
+        # smp UnetDecoder: head = deepest feature; skips are the shallower
+        # pyramid levels in reverse, excluding the raw input.
+        head, skips = features[-1], features[1:-1][::-1]
+        y = head
+        for i, ch in enumerate(self.decoder_channels):
+            skip = skips[i] if i < len(skips) else None
+            y = DecoderBlock(ch, dtype=self.dtype, name=f"decoder_block{i}")(
+                y, skip, train)
+        y = nn.Conv(self.classes, (3, 3), padding=1, use_bias=True,
+                    kernel_init=_head_init, bias_init=nn.initializers.zeros,
+                    dtype=self.dtype, name="segmentation_head")(y)
+        return y.astype(jnp.float32)
+
+
+def create_unet(encoder_name: str = "resnet34", *, in_channels: int = 3,
+                classes: int = 3, dtype: Any = jnp.float32) -> Unet:
+    """Factory mirroring the reference's ``create_model_instance``
+    (`/root/reference/d3f/train_deep_fake/lit_module.py:49-60`)."""
+    if encoder_name not in RESNET_SPECS:
+        raise ValueError(
+            f"unsupported encoder_name {encoder_name!r}; "
+            f"available: {sorted(RESNET_SPECS)}")
+    return Unet(encoder_name=encoder_name, in_channels=in_channels,
+                classes=classes, dtype=dtype)

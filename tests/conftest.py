@@ -1,0 +1,22 @@
+"""Test config: force an 8-device virtual CPU mesh before JAX initializes.
+
+This is the standard JAX substitute for multi-node test rigs (SURVEY.md §4):
+``xla_force_host_platform_device_count=8`` fakes 8 devices on CPU so sharding
+and collective paths are exercised without TPU hardware.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+xla_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in xla_flags:
+    os.environ["XLA_FLAGS"] = (
+        xla_flags + " --xla_force_host_platform_device_count=8").strip()
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)

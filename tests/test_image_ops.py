@@ -1,0 +1,67 @@
+"""Image op tests: normalization round-trip, grid geometry, center crop."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from denoising_diffusion_deep_fake_tpu.ops.image import (
+    center_crop,
+    center_crop_box,
+    denormalise_to_uint8_rgb,
+    grid_to_display,
+    make_grid,
+    normalise_uint8_rgb,
+)
+
+MEAN = [0.5, 0.5, 0.5]
+STD = [0.5, 0.5, 0.5]
+
+
+def test_normalise_round_trip(rng):
+    img = rng.integers(0, 256, size=(16, 16, 3)).astype(np.uint8)
+    t = normalise_uint8_rgb(jnp.asarray(img), MEAN, STD)
+    back = np.asarray(denormalise_to_uint8_rgb(t, MEAN, STD))
+    np.testing.assert_array_equal(back, img)
+
+
+def test_normalise_range():
+    img = jnp.asarray(np.array([[[0, 128, 255]]], dtype=np.uint8))
+    t = np.asarray(normalise_uint8_rgb(img, MEAN, STD))
+    np.testing.assert_allclose(t[0, 0], [-1.0, 0.0039215, 1.0], atol=1e-4)
+
+
+def test_denormalise_truncates_then_clamps():
+    # Reference casts int() (truncation) before clamping (lit_module.py:293-294).
+    t = jnp.asarray(np.array([[[1.9, -3.0, 0.999]]], dtype=np.float32))
+    out = np.asarray(denormalise_to_uint8_rgb(t, MEAN, STD))
+    # 1.9 -> 0.5*255*1.9+127.5 = 369.75 -> trunc 369 -> clamp 255
+    # -3.0 -> -255 -> clamp 0 ; 0.999 -> 254.87 -> trunc 254
+    np.testing.assert_array_equal(out[0, 0], [255, 0, 254])
+
+
+def test_make_grid_geometry(rng):
+    batch = jnp.asarray(rng.random((9, 8, 8, 3)).astype(np.float32))
+    grid = np.asarray(make_grid(batch, nrow=3))
+    # 3 rows x 3 cols of 8px cells with 2px padding: 3*(8+2)+2 = 32.
+    assert grid.shape == (32, 32, 3)
+    # First image lands at [2:10, 2:10].
+    np.testing.assert_allclose(grid[2:10, 2:10], np.asarray(batch[0]))
+    # Padding pixels are pad_value (0).
+    assert grid[0].max() == 0.0
+
+
+def test_grid_to_display_denorms_and_clamps():
+    batch = jnp.full((9, 4, 4, 3), 3.0)
+    disp = np.asarray(grid_to_display(batch))
+    assert disp.max() <= 1.0 and disp.min() >= 0.0
+    np.testing.assert_allclose(disp[2:6, 2:6], 1.0)
+
+
+def test_center_crop_wide_and_tall():
+    # Wide 100x50 to square -> crop x to [25, 75].
+    assert center_crop_box(50, 100, 1, 1) == (0, 50, 25, 75)
+    # Tall 50x100 to square -> crop y to [25, 75].
+    assert center_crop_box(100, 50, 1, 1) == (25, 75, 0, 50)
+    img = np.arange(100 * 50 * 3).reshape(50, 100, 3)
+    out = center_crop(img, 1, 1)
+    assert out.shape == (50, 50, 3)
+    np.testing.assert_array_equal(out, img[:, 25:75])

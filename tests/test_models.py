@@ -1,0 +1,105 @@
+"""Model tests: smp-Unet topology parity (shapes, channels, param counts).
+
+Expected parameter counts computed analytically from the smp topology
+(`segmentation_models_pytorch.Unet(encoder_name=..., in_channels=3, classes=3)`
+with encoder_weights=None) — torchvision resnet encoder + (256,128,64,32,16)
+decoder + 3-channel head.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from denoising_diffusion_deep_fake_tpu.models import ResNetEncoder, create_unet
+
+
+def param_count(params):
+    return sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
+
+
+@pytest.fixture(scope="module")
+def unet34_vars():
+    model = create_unet("resnet34")
+    x = jnp.zeros((1, 64, 64, 3))
+    return model, model.init(jax.random.PRNGKey(0), x, train=False)
+
+
+def test_encoder_feature_pyramid():
+    enc = ResNetEncoder(encoder_name="resnet34")
+    x = jnp.zeros((2, 64, 64, 3))
+    variables = enc.init(jax.random.PRNGKey(0), x, train=False)
+    feats = enc.apply(variables, x, train=False)
+    shapes = [f.shape for f in feats]
+    assert shapes == [
+        (2, 64, 64, 3),
+        (2, 32, 32, 64),
+        (2, 16, 16, 64),
+        (2, 8, 8, 128),
+        (2, 4, 4, 256),
+        (2, 2, 2, 512),
+    ]
+    assert tuple(enc.out_channels) == (3, 64, 64, 128, 256, 512)
+
+
+def test_unet_output_shape_and_dtype(unet34_vars):
+    model, variables = unet34_vars
+    x = jnp.zeros((2, 64, 64, 3))
+    y = model.apply(variables, x, train=False)
+    assert y.shape == (2, 64, 64, 3)
+    assert y.dtype == jnp.float32
+
+
+def test_unet_resnet34_param_count(unet34_vars):
+    # torchvision resnet34 trunk (no fc): 21,284,672 params
+    # smp decoder (256,128,64,32,16) with BN affine: 3,151,552
+    # head conv 3x3 16->3 + bias: 435
+    _, variables = unet34_vars
+    n_params = param_count(variables["params"])
+    n_stats = param_count(variables["batch_stats"])
+    # Torch counts BN running stats separately; flax keeps them in batch_stats.
+    assert n_stats % 2 == 0
+    expected_total = 24_436_659  # weights + biases + BN affine (torch "params")
+    assert n_params == expected_total, n_params
+
+
+def test_unet_train_mode_updates_batch_stats(unet34_vars):
+    model, variables = unet34_vars
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 64, 64, 3))
+    y, mutated = model.apply(variables, x, train=True,
+                             mutable=["batch_stats"])
+    assert y.shape == (2, 64, 64, 3)
+    # Running stats must actually change.
+    before = jax.tree.leaves(variables["batch_stats"])
+    after = jax.tree.leaves(mutated["batch_stats"])
+    assert any(not np.allclose(b, a) for b, a in zip(before, after))
+
+
+def test_unet_resnet18_and_50_forward():
+    x = jnp.zeros((1, 64, 64, 3))
+    for name in ("resnet18", "resnet50"):
+        model = create_unet(name)
+        variables = model.init(jax.random.PRNGKey(0), x, train=False)
+        y = model.apply(variables, x, train=False)
+        assert y.shape == (1, 64, 64, 3)
+
+
+def test_unknown_encoder_raises():
+    with pytest.raises(ValueError):
+        create_unet("mobilenet_v4")
+
+
+def test_unet_jit_and_grad(unet34_vars):
+    model, variables = unet34_vars
+
+    @jax.jit
+    def loss_fn(params, batch_stats, x):
+        y, _ = model.apply({"params": params, "batch_stats": batch_stats}, x,
+                           train=True, mutable=["batch_stats"])
+        return jnp.mean((y - x) ** 2)
+
+    x = jax.random.normal(jax.random.PRNGKey(2), (1, 64, 64, 3))
+    g = jax.grad(loss_fn)(variables["params"], variables["batch_stats"], x)
+    norms = [float(jnp.linalg.norm(p)) for p in jax.tree.leaves(g)]
+    assert all(np.isfinite(norms))
+    assert any(n > 0 for n in norms)
