@@ -1,0 +1,210 @@
+"""Typed config system (YAML -> validated dataclasses).
+
+The reference splats ``yaml.safe_load`` dicts straight into ``LitModule(**kw)``
+with no schema — unknown keys pass silently and missing keys fail at first
+attribute access (`/root/reference/d3f/train_deep_fake/start_training.py:34-36`,
+SURVEY.md §5 "Config / flag system"). This rebuild keeps the reference's YAML
+key names (existing configs load unchanged) but adds:
+
+* per-workload dataclass schemas with defaults and validation at load time,
+* warnings (not silence) for unknown keys,
+* the ``modify`` overlay semantics — checkpoint hparams + YAML overrides —
+  as an explicit, testable function instead of Lightning's ``strict=False``,
+* TPU-specific knobs (static ``image_size``, ``compute_dtype``, data-parallel
+  mesh shape) that the torch version never needed.
+
+Note the reference's ``create_dataloader(p.data_path_a, p.mean_a, p.mean_a)``
+std:=mean typo (SURVEY.md appendix #1) is deliberately *not* reproduced: std
+comes from ``std_*`` keys here.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import warnings
+from pathlib import Path
+from typing import Any
+
+import yaml
+
+
+def read_yaml_file_into_dict(path) -> dict:
+    with open(path) as f:
+        data = yaml.safe_load(f)
+    if not isinstance(data, dict):
+        raise ValueError(f"config {path} did not parse to a mapping")
+    return data
+
+
+@dataclasses.dataclass
+class BaseConfig:
+    """Knobs shared by all three workloads."""
+
+    batch_size: int = 16
+    learning_rate: float = 0.01
+    adam_b1: float = 0.9
+    adam_b2: float = 0.999
+    max_epochs: int = 100
+    cosine_scheduler_max_epoch: int | None = None
+    num_workers: int = 8
+    encoder_name: str = "resnet34"
+
+    # --- TPU-native additions ---
+    image_size: int | None = None      # None -> inferred from the first image
+    compute_dtype: str = "bfloat16"    # "float32" for parity runs
+    data_parallel: int = 1             # devices on the batch axis of the mesh
+    seed: int = 0
+    log_dir: str = "runs"
+    checkpoint_dir: str = "checkpoints"
+    log_every_n_steps: int = 1
+    checkpoint_every_hours: float = 2.0   # mirrors the 2h ModelCheckpoint cadence
+    keep_checkpoints: int = 8             # mirrors save_top_k=8
+    steps_per_epoch: int | None = None    # None -> derived from dataset size
+
+    def validate(self) -> None:
+        if self.batch_size <= 0:
+            raise ValueError("batch_size must be positive")
+        if self.learning_rate <= 0:
+            raise ValueError("learning_rate must be positive")
+        if not 0 <= self.adam_b1 < 1 or not 0 <= self.adam_b2 < 1:
+            raise ValueError("adam betas must be in [0, 1)")
+        if self.compute_dtype not in ("float32", "bfloat16"):
+            raise ValueError(f"compute_dtype {self.compute_dtype!r} not supported")
+        if self.data_parallel <= 0:
+            raise ValueError("data_parallel must be positive")
+        if self.batch_size % self.data_parallel != 0:
+            raise ValueError("batch_size must divide evenly across data_parallel")
+
+    @property
+    def cosine_t_max(self) -> int:
+        return (self.cosine_scheduler_max_epoch
+                if self.cosine_scheduler_max_epoch is not None
+                else self.max_epochs)
+
+
+@dataclasses.dataclass
+class DeepFakeConfig(BaseConfig):
+    """Two-identity trainer (reference `d3f train`, denoise + swap modes)."""
+
+    mode: str = "denoise"
+    data_path_a: str = ""
+    data_path_b: str = ""
+    mean_a: tuple = (0.5, 0.5, 0.5)
+    std_a: tuple = (0.5, 0.5, 0.5)
+    mean_b: tuple = (0.5, 0.5, 0.5)
+    std_b: tuple = (0.5, 0.5, 0.5)
+    noise_exponential_sampling_lambda: float = 5.0
+    ema_beta: float = 0.9999
+    ema_update_every: int = 1
+    ema_update_after_step: int = 100   # ema_pytorch default, made explicit
+    # albumentations ShiftScaleRotate parity (lit_module.py:99-111) — applied
+    # on-device here instead of in CPU dataloader workers.
+    aug_shift_limit: float = 0.2
+    aug_scale_limit: float = 0.1
+    aug_rotate_limit: float = 15.0
+    aug_probability: float = 0.7
+
+    def validate(self) -> None:
+        super().validate()
+        if self.mode not in ("denoise", "swap"):
+            raise ValueError(f"mode must be 'denoise' or 'swap', got {self.mode!r}")
+        if not self.data_path_a or not self.data_path_b:
+            raise ValueError("data_path_a and data_path_b are required")
+        if self.noise_exponential_sampling_lambda <= 0:
+            raise ValueError("noise_exponential_sampling_lambda must be positive")
+
+
+@dataclasses.dataclass
+class DenoiserConfig(BaseConfig):
+    """Single-model denoiser pretrainer (reference `d3f denoise`)."""
+
+    input_image_list_path: str = ""
+    mean: tuple = (0.5, 0.5, 0.5)
+    std: tuple = (0.5, 0.5, 0.5)
+    noise_exponential_sampling_lambda: float = 5.0
+    # Kornia RandomAffine parity (train_denoiser/lit_module.py:55-65).
+    aug_degrees: float = 15.0
+    aug_translate: float = 0.2
+    aug_scale_min: float = 0.8
+    aug_scale_max: float = 1.2
+
+    def validate(self) -> None:
+        super().validate()
+        if not self.input_image_list_path:
+            raise ValueError("input_image_list_path is required")
+
+
+@dataclasses.dataclass
+class BalanceConfig(BaseConfig):
+    """Difficulty balancer (reference `d3f balance`) — including the
+    output-list write the reference promised but never implemented
+    (SURVEY.md §2 #7)."""
+
+    data_path: str = ""
+    output_image_list_path: str = ""
+    mean: tuple = (0.5, 0.5, 0.5)
+    std: tuple = (0.5, 0.5, 0.5)
+    ratio_of_noise: float = 0.7
+    number_of_classes: int = 10
+
+    def validate(self) -> None:
+        super().validate()
+        if not self.data_path:
+            raise ValueError("data_path is required")
+        if not 0.0 <= self.ratio_of_noise <= 1.0:
+            raise ValueError("ratio_of_noise must be in [0, 1]")
+        if self.number_of_classes <= 0:
+            raise ValueError("number_of_classes must be positive")
+
+
+# Reference-config keys that this rebuild intentionally ignores.
+_IGNORED_KEYS = {"num_workers"}  # accepted (in schema) but host threading differs
+
+
+def config_from_dict(cls, data: dict, *, validate: bool = True):
+    """Build a config dataclass from a (YAML) dict, warning on unknown keys."""
+    field_names = {f.name for f in dataclasses.fields(cls)}
+    known = {}
+    for key, value in data.items():
+        if key in field_names:
+            if isinstance(value, list):
+                value = tuple(value)
+            known[key] = value
+        else:
+            warnings.warn(f"unknown config key {key!r} ignored", stacklevel=2)
+    cfg = cls(**known)
+    if validate:
+        cfg.validate()
+    return cfg
+
+
+def config_to_dict(cfg) -> dict:
+    d = dataclasses.asdict(cfg)
+    return {k: (list(v) if isinstance(v, tuple) else v) for k, v in d.items()}
+
+
+def load_config(cls, yaml_path, overrides: dict | None = None):
+    """YAML -> config, with optional CLI/``modify`` overrides applied on top."""
+    data = read_yaml_file_into_dict(yaml_path)
+    if overrides:
+        data.update({k: v for k, v in overrides.items() if v is not None})
+    return config_from_dict(cls, data)
+
+
+def overlay_config(cls, base: dict, new: dict):
+    """``modify`` semantics: checkpoint hparams + YAML overrides on top.
+
+    Mirrors `LitModule.load_from_checkpoint(..., strict=False, **hparams)`
+    (`/root/reference/d3f/train_deep_fake/start_training.py:25-31`): new keys
+    override, absent keys keep the checkpoint values.
+    """
+    merged = dict(base)
+    merged.update(new)
+    return config_from_dict(cls, merged)
+
+
+def resolve_manifest_path(path) -> Path:
+    p = Path(path)
+    if not p.exists():
+        raise FileNotFoundError(f"image manifest not found: {p}")
+    return p

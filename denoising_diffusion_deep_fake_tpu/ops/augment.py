@@ -1,0 +1,173 @@
+"""On-device batched augmentation: random affine warps + normalization.
+
+Replaces both of the reference's augmentation paths with one on-device,
+batched, jit-compiled implementation (the BASELINE north star's "fused
+on-device augmentation"):
+
+* albumentations ``ShiftScaleRotate(shift_limit=0.2, scale_limit=0.1,
+  rotate_limit=15, border_mode=0, p=0.7)`` run per-sample on CPU dataloader
+  workers (`/root/reference/d3f/train_deep_fake/lit_module.py:99-111`),
+* Kornia ``RandomAffine(degrees=15, translate=[.2,.2], scale=[.8,1.2], p=1)``
+  run on-device per batch (`/root/reference/d3f/train_denoiser/lit_module.py:55-65`).
+
+Both are the same op family: per-sample inverse-affine bilinear resampling
+with constant-zero border, applied *after* normalization (the reference's
+Compose order — so the border value is normalized-zero, i.e. mid-gray for
+mean=std=0.5).
+
+TPU notes: the warp is one fused XLA program — per-pixel source coordinates
+are computed from 6 scalars per image (rotation/scale/shift), and the 4-tap
+bilinear gather runs on the VPU. Weights/masks fold into the gather's
+elementwise epilogue. A Pallas kernel variant lives in ``ops/pallas/`` for the
+fully-fused normalize+warp+noise path.
+
+Angle convention: positive = counter-clockwise, like cv2.getRotationMatrix2D.
+Rotation center is (W/2, H/2) in pixel coordinates (cv2/albumentations
+convention; kornia's (W-1)/2 differs by half a pixel — irrelevant for a
+random augmentation, documented for parity auditing).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class AffineAugmentConfig:
+    """Parameter ranges for the random affine family."""
+
+    degrees: float = 15.0          # rotation in [-degrees, +degrees]
+    translate: float = 0.2         # shift fraction of H/W per axis
+    scale_min: float = 0.9
+    scale_max: float = 1.1
+    probability: float = 1.0       # per-sample apply probability
+
+    @classmethod
+    def shift_scale_rotate(cls, shift_limit=0.2, scale_limit=0.1,
+                           rotate_limit=15.0, p=0.7):
+        """albumentations ShiftScaleRotate ranges (deep-fake workload)."""
+        return cls(degrees=rotate_limit, translate=shift_limit,
+                   scale_min=1.0 - scale_limit, scale_max=1.0 + scale_limit,
+                   probability=p)
+
+    @classmethod
+    def random_affine(cls, degrees=15.0, translate=0.2, scale_min=0.8,
+                      scale_max=1.2, p=1.0):
+        """Kornia RandomAffine ranges (denoiser workload)."""
+        return cls(degrees=degrees, translate=translate, scale_min=scale_min,
+                   scale_max=scale_max, probability=p)
+
+
+def sample_affine_params(key: jax.Array, batch_size: int,
+                         cfg: AffineAugmentConfig) -> dict[str, jax.Array]:
+    """Per-sample (angle°, scale, shift_x_frac, shift_y_frac, apply) draws."""
+    k_ang, k_scale, k_tx, k_ty, k_p = jax.random.split(key, 5)
+    u = lambda k, lo, hi: jax.random.uniform(
+        k, (batch_size,), minval=lo, maxval=hi, dtype=jnp.float32)
+    angle = u(k_ang, -cfg.degrees, cfg.degrees)
+    scale = u(k_scale, cfg.scale_min, cfg.scale_max)
+    tx = u(k_tx, -cfg.translate, cfg.translate)
+    ty = u(k_ty, -cfg.translate, cfg.translate)
+    apply = jax.random.uniform(k_p, (batch_size,)) < cfg.probability
+    return {"angle": angle, "scale": scale, "tx": tx, "ty": ty, "apply": apply}
+
+
+def _inverse_affine_coeffs(params: dict[str, jax.Array], height: int,
+                           width: int) -> tuple[jax.Array, ...]:
+    """dst->src affine coefficients per sample (6 scalars each).
+
+    Forward map (cv2 convention): rotate by ``angle`` CCW + scale about the
+    image center, then shift by (tx*W, ty*H). Identity where ``apply`` is
+    False.
+    """
+    theta = jnp.deg2rad(params["angle"])
+    s = params["scale"]
+    cos, sin = jnp.cos(theta), jnp.sin(theta)
+    # cv2.getRotationMatrix2D: alpha = s*cos, beta = s*sin, and y axis points
+    # down, so the matrix is [[a, b], [-b, a]].
+    a, b = s * cos, s * sin
+    cx, cy = width / 2.0, height / 2.0
+    fx = params["tx"] * width
+    fy = params["ty"] * height
+    # Forward: dst = M src + t, with
+    #   M = [[a, b], [-b, a]],  t = [(1-a)cx - b cy + fx, b cx + (1-a)cy + fy]
+    tx_full = (1.0 - a) * cx - b * cy + fx
+    ty_full = b * cx + (1.0 - a) * cy + fy
+    # Inverse: src = M^-1 (dst - t); det(M) = a^2 + b^2 = s^2 and
+    # [[a, b], [-b, a]]^-1 = [[a, -b], [b, a]] / det.
+    det = a * a + b * b
+    inv00 = a / det
+    inv01 = -b / det
+    inv10 = b / det
+    inv11 = a / det
+    itx = -(inv00 * tx_full + inv01 * ty_full)
+    ity = -(inv10 * tx_full + inv11 * ty_full)
+
+    apply = params["apply"]
+    ident = jnp.zeros_like(inv00)
+    one = jnp.ones_like(inv00)
+    inv00 = jnp.where(apply, inv00, one)
+    inv01 = jnp.where(apply, inv01, ident)
+    inv10 = jnp.where(apply, inv10, ident)
+    inv11 = jnp.where(apply, inv11, one)
+    itx = jnp.where(apply, itx, ident)
+    ity = jnp.where(apply, ity, ident)
+    return inv00, inv01, inv10, inv11, itx, ity
+
+
+def affine_warp(images: jax.Array, params: dict[str, jax.Array]) -> jax.Array:
+    """Per-sample affine warp of an NHWC batch, bilinear, zero border."""
+    b, h, w, c = images.shape
+    inv00, inv01, inv10, inv11, itx, ity = _inverse_affine_coeffs(params, h, w)
+
+    xx = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
+    yy = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
+
+    def warp_one(img, i00, i01, i10, i11, tx, ty):
+        sx = i00 * xx + i01 * yy + tx
+        sy = i10 * xx + i11 * yy + ty
+        x0 = jnp.floor(sx)
+        y0 = jnp.floor(sy)
+        wx = sx - x0
+        wy = sy - y0
+        x0i = x0.astype(jnp.int32)
+        y0i = y0.astype(jnp.int32)
+
+        flat = img.reshape(h * w, c)
+
+        def tap(yi, xi, weight):
+            valid = (xi >= 0) & (xi < w) & (yi >= 0) & (yi < h)
+            idx = jnp.clip(yi, 0, h - 1) * w + jnp.clip(xi, 0, w - 1)
+            vals = jnp.take(flat, idx.reshape(-1), axis=0).reshape(h, w, c)
+            return vals * (weight * valid)[..., None]
+
+        out = (tap(y0i, x0i, (1 - wx) * (1 - wy))
+               + tap(y0i, x0i + 1, wx * (1 - wy))
+               + tap(y0i + 1, x0i, (1 - wx) * wy)
+               + tap(y0i + 1, x0i + 1, wx * wy))
+        return out.astype(img.dtype)
+
+    return jax.vmap(warp_one)(images, inv00, inv01, inv10, inv11, itx, ity)
+
+
+def normalise_batch(batch_uint8: jax.Array, mean, std,
+                    dtype=jnp.float32) -> jax.Array:
+    """uint8 NHWC -> normalized float: ``(x - mean*255) / (std*255)``."""
+    mean = jnp.asarray(mean, jnp.float32).reshape(1, 1, 1, -1) * 255.0
+    std = jnp.asarray(std, jnp.float32).reshape(1, 1, 1, -1) * 255.0
+    return ((batch_uint8.astype(jnp.float32) - mean) / std).astype(dtype)
+
+
+def augment_batch(key: jax.Array, batch_uint8: jax.Array, mean, std,
+                  cfg: AffineAugmentConfig, dtype=jnp.float32) -> jax.Array:
+    """Fused normalize -> random-affine pipeline (the on-device data path).
+
+    Matches the reference's Compose ordering (normalize before warp) so the
+    zero border lands in normalized space.
+    """
+    x = normalise_batch(batch_uint8, mean, std, dtype=jnp.float32)
+    params = sample_affine_params(key, x.shape[0], cfg)
+    return affine_warp(x, params).astype(dtype)

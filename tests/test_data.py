@@ -1,0 +1,95 @@
+"""Data layer tests: manifests, loader batching/shuffling/prefetch, pairing."""
+
+import numpy as np
+import pytest
+
+from denoising_diffusion_deep_fake_tpu.data import (
+    ImageLoader,
+    read_image_manifest,
+    write_image_manifest,
+)
+
+from helpers import make_image_dataset
+
+
+def test_manifest_round_trip(tmp_path):
+    manifest = make_image_dataset(tmp_path, n=4, subdir="frames")
+    paths = read_image_manifest(manifest)
+    assert len(paths) == 4
+    assert all(p.exists() for p in paths)
+    # Relative resolution against the manifest's directory.
+    assert paths[0].parent.name == "frames"
+
+
+def test_manifest_write_with_difficulty(tmp_path):
+    manifest = make_image_dataset(tmp_path, n=3)
+    paths = read_image_manifest(manifest)
+    out = tmp_path / "balanced" / "images.txt"
+    write_image_manifest(out, paths, difficulty_classes=[2, 0, 1])
+    lines = out.read_text().strip().split("\n")
+    assert all("\t" in l for l in lines)
+    assert lines[0].endswith("\t2")
+    # Reader keeps only the path column and resolves it.
+    back = read_image_manifest(out)
+    assert [p.name for p in back] == [p.name for p in paths]
+    assert all(p.exists() for p in back)
+
+
+def test_loader_batches_uint8(tmp_path):
+    manifest = make_image_dataset(tmp_path, n=10, size=16)
+    loader = ImageLoader(manifest, batch_size=4, seed=1)
+    assert loader.image_size == 16
+    assert loader.batches_per_epoch == 2  # drop_remainder
+    batches = list(loader.epoch(0))
+    assert len(batches) == 2
+    batch, idx = batches[0]
+    assert batch.shape == (4, 16, 16, 3)
+    assert batch.dtype == np.uint8
+    assert idx.shape == (4,) and idx.dtype == np.int32
+
+
+def test_loader_shuffles_per_epoch_deterministically(tmp_path):
+    manifest = make_image_dataset(tmp_path, n=8, size=8)
+    loader = ImageLoader(manifest, batch_size=8, seed=3)
+    _, idx_e0 = next(iter(loader.epoch(0)))
+    _, idx_e0_again = next(iter(loader.epoch(0)))
+    _, idx_e1 = next(iter(loader.epoch(1)))
+    np.testing.assert_array_equal(idx_e0, idx_e0_again)  # reproducible
+    assert not np.array_equal(idx_e0, idx_e1)            # varies per epoch
+    assert sorted(idx_e0) == list(range(8))              # a permutation
+
+
+def test_loader_resizes_mismatched_images(tmp_path):
+    manifest = make_image_dataset(tmp_path, n=4, size=24)
+    loader = ImageLoader(manifest, batch_size=2, image_size=16)
+    batch, _ = next(iter(loader.epoch(0)))
+    assert batch.shape == (2, 16, 16, 3)
+
+
+def test_loader_decode_error_propagates(tmp_path):
+    manifest = make_image_dataset(tmp_path, n=3, size=8)
+    # Corrupt one file.
+    paths = read_image_manifest(manifest)
+    paths[1].write_bytes(b"not an image")
+    loader = ImageLoader(manifest, batch_size=3, shuffle=False)
+    with pytest.raises(IOError):
+        list(loader.epoch(0))
+
+
+def test_empty_manifest_raises(tmp_path):
+    m = tmp_path / "images.txt"
+    m.write_text("")
+    with pytest.raises(ValueError, match="empty"):
+        ImageLoader(m, batch_size=1)
+
+
+def test_paired_loader(tmp_path):
+    m_a = make_image_dataset(tmp_path / "a", n=6, size=8, seed=1)
+    m_b = make_image_dataset(tmp_path / "b", n=4, size=8, seed=2)
+    from denoising_diffusion_deep_fake_tpu.data.loader import PairedLoader
+
+    pair = PairedLoader(ImageLoader(m_a, 2), ImageLoader(m_b, 2))
+    batches = list(pair.epoch(0))
+    assert len(batches) == 2  # min of the two epoch lengths
+    (ba, ia), (bb, ib) = batches[0]
+    assert ba.shape == bb.shape == (2, 8, 8, 3)
