@@ -1,0 +1,74 @@
+"""Benchmark: denoiser training throughput (imgs/sec/chip) on real hardware.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+The headline metric matches BASELINE.md's north star — denoiser train
+throughput per chip. ``vs_baseline`` is measured against the driver-set
+target of 10x the CPU reference; the CPU reference throughput is estimated
+once on this host (see BASELINE.md; the torch reference publishes no numbers,
+so the first measured runs establish the baseline).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+
+def bench_denoiser_throughput(batch_size: int = 32, image_size: int = 64,
+                              steps: int = 30, warmup: int = 3) -> dict:
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from denoising_diffusion_deep_fake_tpu.config import (
+        DenoiserConfig, config_from_dict)
+    from denoising_diffusion_deep_fake_tpu.training.denoiser import (
+        DenoiserTrainer)
+
+    cfg = config_from_dict(DenoiserConfig, dict(
+        input_image_list_path="unused", batch_size=batch_size,
+        learning_rate=2e-2, encoder_name="resnet34",
+        compute_dtype="bfloat16",
+        noise_exponential_sampling_lambda=5.0), validate=False)
+    trainer = DenoiserTrainer(cfg, steps_per_epoch=1000, image_size=image_size)
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    step = trainer.make_train_step(with_images=False)
+
+    rng = np.random.default_rng(0)
+    batch = jnp.asarray(rng.integers(0, 256, (batch_size, image_size,
+                                              image_size, 3), dtype=np.uint8))
+
+    for i in range(warmup):
+        state, metrics = step(state, batch, jax.random.PRNGKey(i))
+    jax.block_until_ready(state)
+
+    t0 = time.perf_counter()
+    for i in range(steps):
+        state, metrics = step(state, batch, jax.random.PRNGKey(100 + i))
+    jax.block_until_ready(state)
+    elapsed = time.perf_counter() - t0
+
+    imgs_per_sec = batch_size * steps / elapsed
+    return {"imgs_per_sec": imgs_per_sec, "step_ms": elapsed / steps * 1e3,
+            "loss": float(metrics["loss"])}
+
+
+def main() -> None:
+    result = bench_denoiser_throughput()
+    # Baseline: the north star asks for >10x the CPU reference per chip.
+    # Measured CPU-reference-equivalent throughput on this host (single-core
+    # torch CPU training of the same model/shape) is ~2 imgs/sec; the
+    # committed target baseline is therefore 20 imgs/sec (10x). vs_baseline
+    # is the multiple of that target we achieve.
+    target = 20.0
+    print(json.dumps({
+        "metric": "denoiser_train_imgs_per_sec_per_chip_64px_bf16",
+        "value": round(result["imgs_per_sec"], 1),
+        "unit": "imgs/sec",
+        "vs_baseline": round(result["imgs_per_sec"] / target, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

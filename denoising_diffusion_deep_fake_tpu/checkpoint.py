@@ -1,0 +1,126 @@
+"""Checkpoint save/restore (Orbax) with hparams metadata.
+
+The reference delegates checkpointing to Lightning: top-8 checkpoints on a
+2-hour wall-clock cadence plus a ``last`` checkpoint per epoch, with hparams
+embedded via ``save_hyperparameters()`` enabling ``resume``/``modify``
+(`/root/reference/d3f/train_deep_fake/lit_module.py:127-140`, SURVEY.md §5).
+
+TPU-native equivalent (SURVEY.md §5): Orbax persistence of the full train
+state — params, EMA shadows, optimizer moments, BN stats, step — plus the
+config dict and loop counters as JSON metadata, under ``<dir>/<step>/``.
+
+Restore paths mirror the reference's two entry points (§3.5):
+* ``restore`` (== ``d3f train resume``): everything, including optimizer
+  state and epoch counters;
+* ``restore_for_modify`` (== ``d3f train modify``): weights/EMA only, fresh
+  optimizer and counters — Lightning's ``load_from_checkpoint`` +
+  ``fit()``-without-ckpt_path semantics.
+
+Structure recovery uses ``jax.eval_shape`` over the trainer's init (tracing
+only — no compute, no 90 s init on slow hosts).
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+from pathlib import Path
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import orbax.checkpoint as ocp
+from flax import serialization
+
+
+class CheckpointManager:
+    """Step-indexed checkpoints with retention, metadata, and a latest pointer."""
+
+    def __init__(self, directory, *, keep: int = 8):
+        self.directory = Path(directory).resolve()
+        self.keep = keep
+        self.directory.mkdir(parents=True, exist_ok=True)
+        self._ckpt = ocp.StandardCheckpointer()
+
+    # ------------------------------------------------------------------ save
+
+    def save(self, step: int, states: Any, hparams: dict,
+             extra: dict | None = None) -> Path:
+        """Persist states (any pytree of ModelStates) + hparams at ``step``."""
+        path = self.directory / f"step_{step:010d}"
+        state_dict = serialization.to_state_dict(states)
+        self._ckpt.save(path / "state", state_dict, force=True)
+        self._ckpt.wait_until_finished()
+        meta = {"step": step, "hparams": hparams, "extra": extra or {}}
+        (path / "meta.json").write_text(json.dumps(meta, indent=2))
+        self._apply_retention()
+        return path
+
+    def _apply_retention(self) -> None:
+        steps = self.all_steps()
+        for old in steps[:-self.keep] if self.keep else []:
+            shutil.rmtree(self.directory / f"step_{old:010d}",
+                          ignore_errors=True)
+
+    # --------------------------------------------------------------- restore
+
+    def all_steps(self) -> list[int]:
+        steps = []
+        for p in self.directory.glob("step_*"):
+            if (p / "meta.json").exists():
+                steps.append(int(p.name.split("_")[1]))
+        return sorted(steps)
+
+    def latest_step(self) -> int | None:
+        steps = self.all_steps()
+        return steps[-1] if steps else None
+
+    def read_meta(self, step: int | None = None) -> dict:
+        step = self.latest_step() if step is None else step
+        if step is None:
+            raise FileNotFoundError(f"no checkpoints in {self.directory}")
+        return json.loads(
+            (self.directory / f"step_{step:010d}" / "meta.json").read_text())
+
+    def restore(self, target_fn: Callable[[], Any],
+                step: int | None = None) -> tuple[Any, dict]:
+        """Full restore: ``target_fn`` builds the states pytree structure
+        (called under ``jax.eval_shape`` — tracing only)."""
+        step = self.latest_step() if step is None else step
+        if step is None:
+            raise FileNotFoundError(f"no checkpoints in {self.directory}")
+        path = self.directory / f"step_{step:010d}"
+        target = jax.eval_shape(target_fn)
+        target_sd = serialization.to_state_dict(target)
+        abstract = jax.tree.map(
+            lambda x: ocp.utils.to_shape_dtype_struct(x)
+            if hasattr(x, "shape") else x, target_sd)
+        raw = self._ckpt.restore(path / "state", abstract)
+        states = serialization.from_state_dict(target, raw)
+        states = jax.tree.map(jnp.asarray, states)
+        return states, self.read_meta(step)
+
+
+def reset_for_modify(states: Any, tx_init: Callable[[Any], Any]) -> Any:
+    """``modify`` semantics: keep weights/BN/EMA, fresh optimizer + counters."""
+    def reset_one(s):
+        return s.replace(step=jnp.zeros((), jnp.int32),
+                         opt_state=tx_init(s.params))
+
+    if isinstance(states, dict):
+        return {k: reset_one(v) for k, v in states.items()}
+    return reset_one(states)
+
+
+def save_np_rng_state(extra: dict, rng_key: jax.Array) -> dict:
+    extra = dict(extra)
+    extra["rng_key"] = np.asarray(jax.random.key_data(rng_key)).tolist()
+    return extra
+
+
+def load_rng_key(extra: dict) -> jax.Array | None:
+    data = extra.get("rng_key")
+    if data is None:
+        return None
+    return jax.random.wrap_key_data(jnp.asarray(data, jnp.uint32))

@@ -114,6 +114,17 @@ class DeepFakeConfig(BaseConfig):
             raise ValueError("noise_exponential_sampling_lambda must be positive")
 
 
+def _rescale_mean_std(cfg) -> None:
+    """Auto-convert 0-255-scale mean/std (the reference's denoiser/balance
+    configs use [128,128,128] — SURVEY.md appendix #2) to 0-1 scale."""
+    if any(v > 1.0 for v in cfg.mean) or any(v > 1.0 for v in cfg.std):
+        warnings.warn(
+            "mean/std look 0-255-scaled; dividing by 255 (the reference's "
+            "denoiser configs predate its albumentations switch)", stacklevel=3)
+        cfg.mean = tuple(v / 255.0 for v in cfg.mean)
+        cfg.std = tuple(v / 255.0 for v in cfg.std)
+
+
 @dataclasses.dataclass
 class DenoiserConfig(BaseConfig):
     """Single-model denoiser pretrainer (reference `d3f denoise`)."""
@@ -132,6 +143,7 @@ class DenoiserConfig(BaseConfig):
         super().validate()
         if not self.input_image_list_path:
             raise ValueError("input_image_list_path is required")
+        _rescale_mean_std(self)
 
 
 @dataclasses.dataclass
@@ -155,6 +167,7 @@ class BalanceConfig(BaseConfig):
             raise ValueError("ratio_of_noise must be in [0, 1]")
         if self.number_of_classes <= 0:
             raise ValueError("number_of_classes must be positive")
+        _rescale_mean_std(self)
 
 
 # Reference-config keys that this rebuild intentionally ignores.

@@ -1,0 +1,184 @@
+"""``d3f-tpu`` command-line interface.
+
+Mirrors the reference's ``d3f`` click group (`/root/reference/d3f/main.py:6-12`,
+`setup.py:7-11`) and its subcommands:
+
+* ``train new/resume/modify`` — two-identity deep-fake trainer
+  (`d3f/train_deep_fake/start_training.py:8-59`),
+* ``denoise`` — single-model denoiser (`d3f/train_denoiser/train_denoiser.py:7-52`),
+* ``balance`` — difficulty balancer (`d3f/balance_training_images/
+  balance_training_images.py:7-57`), with ``--output_list`` actually written,
+
+plus the video tools the reference kept as loose scripts (SURVEY.md §2
+#14-17), promoted to first-class subcommands: ``video prep`` and
+``video swap``.
+"""
+
+from __future__ import annotations
+
+import click
+
+
+@click.group()
+def cli():
+    """denoising_diffusion_deep_fake_tpu — TPU-native face-swap-via-denoising."""
+    _honor_jax_platforms_env()
+
+
+def _honor_jax_platforms_env() -> None:
+    """Some images bake a jax whose ``jax_platforms`` default ignores the
+    ``JAX_PLATFORMS`` env var; re-apply it so ``JAX_PLATFORMS=cpu d3f-tpu ...``
+    behaves as documented."""
+    import os
+
+    env = os.environ.get("JAX_PLATFORMS")
+    if env:
+        import jax
+
+        jax.config.update("jax_platforms", env)
+
+
+# ----------------------------------------------------------------- train group
+
+
+@cli.group()
+def train():
+    """Two-identity deep-fake training (denoise + swap modes)."""
+
+
+@train.command()
+@click.option("--config_path", required=True, help="Path to the config yaml.")
+@click.option("--max_steps", type=int, default=None,
+              help="Stop after N optimizer steps (smoke runs).")
+def new(config_path, max_steps):
+    """Start fresh from a YAML config."""
+    from denoising_diffusion_deep_fake_tpu.config import (
+        DeepFakeConfig, load_config)
+    from denoising_diffusion_deep_fake_tpu.training.runners import fit_deep_fake
+
+    cfg = load_config(DeepFakeConfig, config_path)
+    fit_deep_fake(cfg, max_steps=max_steps)
+
+
+@train.command()
+@click.option("--checkpoint_path", required=True,
+              help="Checkpoint directory to resume from.")
+@click.option("--max_steps", type=int, default=None)
+def resume(checkpoint_path, max_steps):
+    """Resume training: weights + optimizer + epoch + RNG from checkpoint."""
+    from denoising_diffusion_deep_fake_tpu.checkpoint import CheckpointManager
+    from denoising_diffusion_deep_fake_tpu.config import (
+        DeepFakeConfig, config_from_dict)
+    from denoising_diffusion_deep_fake_tpu.training.runners import fit_deep_fake
+
+    meta = CheckpointManager(checkpoint_path).read_meta()
+    cfg = config_from_dict(DeepFakeConfig, meta["hparams"])
+    fit_deep_fake(cfg, resume_from=checkpoint_path, max_steps=max_steps)
+
+
+@train.command()
+@click.option("--config_path", required=True, help="Path to the config yaml.")
+@click.option("--checkpoint_path", required=True,
+              help="Checkpoint directory to load weights from.")
+@click.option("--max_steps", type=int, default=None)
+def modify(config_path, checkpoint_path, max_steps):
+    """Load weights, overlay new hparams, fresh optimizers — the
+    denoise->swap mode flip (reference ``modify``, SURVEY.md §3.5)."""
+    from denoising_diffusion_deep_fake_tpu.checkpoint import CheckpointManager
+    from denoising_diffusion_deep_fake_tpu.config import (
+        DeepFakeConfig, overlay_config, read_yaml_file_into_dict)
+    from denoising_diffusion_deep_fake_tpu.training.runners import fit_deep_fake
+
+    meta = CheckpointManager(checkpoint_path).read_meta()
+    overrides = read_yaml_file_into_dict(config_path)
+    cfg = overlay_config(DeepFakeConfig, meta["hparams"], overrides)
+    fit_deep_fake(cfg, modify_from=checkpoint_path, max_steps=max_steps)
+
+
+# -------------------------------------------------------------------- denoise
+
+
+@cli.command()
+@click.option("--config", "config_path", required=True,
+              help="Path to the config yaml.")
+@click.option("--input_list", "input_list", required=True,
+              help="images.txt manifest of training images.")
+@click.option("--max_steps", type=int, default=None)
+def denoise(config_path, input_list, max_steps):
+    """Train a single-model denoiser."""
+    from denoising_diffusion_deep_fake_tpu.config import (
+        DenoiserConfig, load_config)
+    from denoising_diffusion_deep_fake_tpu.training.runners import fit_denoiser
+
+    cfg = load_config(DenoiserConfig, config_path,
+                      overrides={"input_image_list_path": input_list})
+    fit_denoiser(cfg, max_steps=max_steps)
+
+
+# -------------------------------------------------------------------- balance
+
+
+@cli.command()
+@click.option("--config", "config_path", required=True,
+              help="Path to the config yaml.")
+@click.option("--input_list", "input_list", required=True,
+              help="images.txt manifest to balance.")
+@click.option("--output_list", "output_list", required=True,
+              help="Where to write the difficulty-classed manifest.")
+@click.option("--max_steps", type=int, default=None)
+def balance(config_path, input_list, output_list, max_steps):
+    """Score image difficulty and write a balanced manifest."""
+    from denoising_diffusion_deep_fake_tpu.config import (
+        BalanceConfig, load_config)
+    from denoising_diffusion_deep_fake_tpu.training.runners import fit_balance
+
+    cfg = load_config(BalanceConfig, config_path,
+                      overrides={"data_path": input_list,
+                                 "output_image_list_path": output_list})
+    fit_balance(cfg, max_steps=max_steps)
+
+
+# ---------------------------------------------------------------- video tools
+
+
+@cli.group()
+def video():
+    """Dataset prep and face-swap rendering for videos."""
+
+
+@video.command()
+@click.argument("video_path")
+@click.argument("output_dir")
+@click.option("--width", type=int, default=448)
+@click.option("--height", type=int, default=448)
+def prep(video_path, output_dir, width, height):
+    """Video -> center-cropped frame dataset + images.txt manifest."""
+    from denoising_diffusion_deep_fake_tpu.data.video import (
+        video_to_center_cropped_images)
+
+    video_to_center_cropped_images(video_path, output_dir, width, height)
+
+
+@video.command()
+@click.argument("video_path")
+@click.argument("checkpoint_path")
+@click.argument("model_a_or_b", type=click.Choice(["a", "b"]))
+@click.option("--width", type=int, default=448)
+@click.option("--height", type=int, default=448)
+@click.option("--output", default=None, help="Output mp4 path.")
+@click.option("--batch_size", type=int, default=8,
+              help="Frames swapped per device batch.")
+@click.option("--sampler_steps", type=int, default=0,
+              help="0 = single-pass parity; N>0 = scanned DDIM refinement.")
+def swap(video_path, checkpoint_path, model_a_or_b, width, height, output,
+         batch_size, sampler_steps):
+    """Render a side-by-side real|fake video through a trained checkpoint."""
+    from denoising_diffusion_deep_fake_tpu.data.video import render_fake_video
+
+    render_fake_video(video_path, checkpoint_path, model_a_or_b,
+                      width=width, height=height, output_path=output,
+                      batch_size=batch_size, sampler_steps=sampler_steps)
+
+
+if __name__ == "__main__":
+    cli()

@@ -1,0 +1,74 @@
+"""Device mesh + sharding layer — the framework's scale-out substrate.
+
+The reference is strictly single-device (SURVEY.md §2 "Parallelism strategies
+— first-class absence report": every Trainer pins ``devices=1``; no process
+groups, no collectives). This module is the TPU-native equivalent built in its
+place: a ``jax.sharding.Mesh`` with a ``data`` axis (batch-parallel over
+ICI/DCN) and an optional ``spatial`` axis (height-sharded conv feature maps for
+large resolutions). Gradients are reduced by compiler-inserted all-reduces —
+``jit`` + ``NamedSharding`` does the NCCL-equivalent work; there is no
+hand-written communication backend to maintain.
+
+Usage: params/opt state are replicated over ``data``; each device gets its
+batch shard; XLA inserts one fused psum over the gradient tree per step, riding
+ICI. ``spatial`` shards the H dimension of activations for the 256²+ configs
+(halo exchanges become collective-permutes XLA derives from conv padding).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def create_mesh(data_parallel: int | None = None, spatial: int = 1,
+                devices=None) -> Mesh:
+    """Build a ('data', 'spatial') mesh over the available devices.
+
+    ``data_parallel=None`` uses every device on the data axis. On a single
+    chip this degenerates to a 1x1 mesh and all shardings become no-ops, so
+    the same train-step code serves laptop CPU, one TPU chip, and a pod slice.
+    """
+    devices = list(jax.devices()) if devices is None else list(devices)
+    if data_parallel is None:
+        data_parallel = len(devices) // spatial
+    n = data_parallel * spatial
+    if n > len(devices):
+        raise ValueError(
+            f"mesh needs {n} devices (data={data_parallel} x spatial={spatial}) "
+            f"but only {len(devices)} available")
+    grid = np.asarray(devices[:n]).reshape(data_parallel, spatial)
+    return Mesh(grid, axis_names=("data", "spatial"))
+
+
+def batch_sharding(mesh: Mesh, *, spatial_dim: int | None = None) -> NamedSharding:
+    """NHWC batch: batch axis over 'data', optionally H over 'spatial'."""
+    if spatial_dim is None:
+        return NamedSharding(mesh, P("data"))
+    spec = [None] * 4
+    spec[0] = "data"
+    spec[spatial_dim] = "spatial"
+    return NamedSharding(mesh, P(*spec))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch, mesh: Mesh, *, spatial: bool = False):
+    """Host numpy batch -> device array sharded over the data axis."""
+    sharding = batch_sharding(mesh, spatial_dim=1 if spatial else None)
+    return jax.device_put(batch, sharding)
+
+
+def shard_state(state: Any, mesh: Mesh):
+    """Replicate a train-state pytree across the mesh (pure DP layout).
+
+    For model sizes where replication is wasteful, swap this for a
+    param-sharded NamedSharding tree — the train steps only see pytrees and
+    don't care.
+    """
+    return jax.device_put(state, replicated_sharding(mesh))

@@ -1,0 +1,120 @@
+"""Training-image difficulty balancer.
+
+Parity target: `/root/reference/d3f/balance_training_images/lit_module.py:28-213`
+(SURVEY.md §2 #7): train a denoiser at a **fixed** noise ratio, then score
+every image by reconstruction difficulty (per-image L1), min-max normalize
+across the dataset, bin into ``number_of_classes`` difficulty classes, and log
+a histogram.
+
+This rebuild also **completes the feature the reference promised but never
+implemented** (SURVEY.md §2 #7 NOTE, appendix #3): the difficulty classes are
+written to ``output_image_list_path`` as a ``<path>\t<class>`` manifest that
+``read_image_manifest`` can consume.
+
+The validation pass streams per-image losses back as one (B,)-vector per batch
+— device->host traffic is 4 bytes/image, not images.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from denoising_diffusion_deep_fake_tpu.config import BalanceConfig
+from denoising_diffusion_deep_fake_tpu.models import create_unet
+from denoising_diffusion_deep_fake_tpu.ops import (
+    blend_fixed_amount_of_noise,
+    mse_ssim_loss,
+)
+from denoising_diffusion_deep_fake_tpu.ops.augment import normalise_batch
+from denoising_diffusion_deep_fake_tpu.ops.losses import l1_difficulty_loss
+from denoising_diffusion_deep_fake_tpu.training.optim import (
+    make_adam_with_cosine,
+)
+from denoising_diffusion_deep_fake_tpu.training.state import (
+    ModelState,
+    create_model_state,
+)
+
+
+def compute_difficulty_index(losses: np.ndarray, number_of_classes: int) -> np.ndarray:
+    """Min-max normalize losses and bin into difficulty classes.
+
+    Exact math of `compute_difficulty_index_for_each_loss`
+    (`lit_module.py:181-193`): normalize, clamp to [0, 0.99999], floor-scale
+    by ``number_of_classes``.
+    """
+    lo, hi = losses.min(), losses.max()
+    denom = hi - lo if hi > lo else 1.0
+    normalised = np.clip((losses - lo) / denom, 0.0, 0.99999)
+    return (normalised * number_of_classes).astype(np.int64)
+
+
+class BalanceTrainer:
+    def __init__(self, cfg: BalanceConfig, *, steps_per_epoch: int,
+                 image_size: int):
+        cfg.validate()
+        self.cfg = cfg
+        self.image_size = image_size
+        dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+        self.model = create_unet(cfg.encoder_name, dtype=dtype)
+        # Reference: plain Adam, no LR schedule (lit_module.py:83-88).
+        self.tx = make_adam_with_cosine(cfg.learning_rate, b1=cfg.adam_b1,
+                                        b2=cfg.adam_b2, cosine_t_max=None)
+
+    def init_state(self, rng: jax.Array) -> ModelState:
+        shape = (1, self.image_size, self.image_size, 3)
+        return create_model_state(self.model, rng, shape, self.tx)
+
+    def make_train_step(self, *, with_images: bool = False, donate: bool = True):
+        step = functools.partial(self._train_step, with_images=with_images)
+        return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+    def _train_step(self, state: ModelState, batch_u8, rng, *, with_images):
+        cfg = self.cfg
+        image = normalise_batch(batch_u8, cfg.mean, cfg.std)
+        noisy = blend_fixed_amount_of_noise(rng, image, cfg.ratio_of_noise)
+
+        def loss_fn(params):
+            pred, mutated = self.model.apply(
+                {"params": params, "batch_stats": state.batch_stats}, noisy,
+                train=True, mutable=["batch_stats"])
+            return mse_ssim_loss(pred, image), (mutated["batch_stats"], pred)
+
+        (loss, (new_bs, pred)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        new_state = state.apply_gradients(grads, self.tx, new_bs)
+
+        metrics = {"loss": loss}
+        if with_images:
+            return new_state, metrics, {"image": image, "image_noisy": noisy,
+                                        "image_prediction": pred}
+        return new_state, metrics
+
+    def make_validation_step(self):
+        """Jitted per-batch difficulty scoring: returns (B,) L1 losses."""
+        def val_step(state: ModelState, batch_u8, rng):
+            cfg = self.cfg
+            image = normalise_batch(batch_u8, cfg.mean, cfg.std)
+            noisy = blend_fixed_amount_of_noise(rng, image, cfg.ratio_of_noise)
+            pred = self.model.apply(
+                {"params": state.params, "batch_stats": state.batch_stats},
+                noisy, train=False)
+            return l1_difficulty_loss(pred, image)
+
+        return jax.jit(val_step)
+
+    def score_dataset(self, state: ModelState, loader, rng: jax.Array,
+                      *, epoch: int = 0) -> tuple[np.ndarray, np.ndarray]:
+        """Run the validation pass; returns (indices, losses) over the epoch."""
+        val_step = self.make_validation_step()
+        all_idx, all_loss = [], []
+        for step, (batch, idx) in enumerate(loader.epoch(epoch)):
+            losses = val_step(state, jnp.asarray(batch),
+                              jax.random.fold_in(rng, step))
+            all_idx.append(idx)
+            all_loss.append(np.asarray(losses))
+        return np.concatenate(all_idx), np.concatenate(all_loss)

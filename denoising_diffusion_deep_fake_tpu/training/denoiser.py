@@ -1,0 +1,98 @@
+"""Single-model denoiser pretrainer.
+
+Parity target: `/root/reference/d3f/train_denoiser/lit_module.py:28-173`
+(SURVEY.md §2 #5): one U-Net, Kornia ``RandomAffine(degrees=15,
+translate=[.2,.2], scale=[.8,1.2], p=1)`` applied on-device to the whole
+batch, random truncated-exponential noise blend, MSE+SSIM loss, Adam +
+per-epoch cosine annealing.
+
+Note on the data path: the reference's denoiser dataloader is broken as
+written (albumentations calling convention vs ``nn.Sequential`` transform, and
+0-255-scale mean/std — SURVEY.md appendix #2). This rebuild gives all three
+workloads the one working path: uint8 batches from the loader, normalization
+on-device with 0-1-scale mean/std (255-scale configs are auto-converted at
+config load with a warning).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from denoising_diffusion_deep_fake_tpu.config import DenoiserConfig
+from denoising_diffusion_deep_fake_tpu.models import create_unet
+from denoising_diffusion_deep_fake_tpu.ops import (
+    blend_random_amount_of_noise,
+    mse_ssim_loss,
+)
+from denoising_diffusion_deep_fake_tpu.ops.augment import (
+    AffineAugmentConfig,
+    augment_batch,
+)
+from denoising_diffusion_deep_fake_tpu.training.optim import (
+    make_adam_with_cosine,
+)
+from denoising_diffusion_deep_fake_tpu.training.state import (
+    ModelState,
+    create_model_state,
+)
+
+
+class DenoiserTrainer:
+    def __init__(self, cfg: DenoiserConfig, *, steps_per_epoch: int,
+                 image_size: int):
+        cfg.validate()
+        self.cfg = cfg
+        self.image_size = image_size
+        dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+        self.model = create_unet(cfg.encoder_name, dtype=dtype)
+        # Reference uses default Adam betas here (lit_module.py:95).
+        self.tx = make_adam_with_cosine(
+            cfg.learning_rate, b1=cfg.adam_b1, b2=cfg.adam_b2,
+            cosine_t_max=cfg.cosine_t_max, steps_per_epoch=steps_per_epoch)
+        self.aug = AffineAugmentConfig.random_affine(
+            degrees=cfg.aug_degrees, translate=cfg.aug_translate,
+            scale_min=cfg.aug_scale_min, scale_max=cfg.aug_scale_max, p=1.0)
+
+    def init_state(self, rng: jax.Array) -> ModelState:
+        shape = (1, self.image_size, self.image_size, 3)
+        return create_model_state(self.model, rng, shape, self.tx)
+
+    def make_train_step(self, *, with_images: bool = False, donate: bool = True):
+        step = functools.partial(self._train_step, with_images=with_images)
+        return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+    def _train_step(self, state: ModelState, batch_u8, rng, *, with_images):
+        cfg = self.cfg
+        k_aug, k_noise = jax.random.split(rng)
+        image = augment_batch(k_aug, batch_u8, cfg.mean, cfg.std, self.aug)
+        noisy, _ = blend_random_amount_of_noise(
+            k_noise, image, cfg.noise_exponential_sampling_lambda)
+
+        def loss_fn(params):
+            pred, mutated = self.model.apply(
+                {"params": params, "batch_stats": state.batch_stats}, noisy,
+                train=True, mutable=["batch_stats"])
+            return mse_ssim_loss(pred, image), (mutated["batch_stats"], pred)
+
+        (loss, (new_bs, pred)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        new_state = state.apply_gradients(grads, self.tx, new_bs)
+
+        metrics = {"loss": loss}
+        if with_images:
+            images = {"image": image, "image_noisy": noisy,
+                      "image_prediction": pred}
+            return new_state, metrics, images
+        return new_state, metrics
+
+    def make_denoise_fn(self):
+        """Jitted eval-mode forward (running-average BN)."""
+        def denoise(state: ModelState, x):
+            return self.model.apply(
+                {"params": state.params, "batch_stats": state.batch_stats}, x,
+                train=False)
+
+        return jax.jit(denoise)

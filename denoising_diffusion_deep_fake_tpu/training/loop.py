@@ -1,0 +1,73 @@
+"""Shared training-loop machinery: logging cadence, checkpoint cadence, timing.
+
+This is the functional replacement for the parts of ``pl.Trainer`` the
+reference leaned on (`/root/reference/d3f/train_deep_fake/start_training.py:43-53`):
+epoch iteration, step counting, scalar/image logging cadence, and wall-clock
+checkpointing. Device work stays asynchronous — metrics are only fetched on
+logging steps, so the host never blocks the TPU stream between steps.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any, Callable
+
+import jax
+
+from denoising_diffusion_deep_fake_tpu.checkpoint import (
+    CheckpointManager,
+    save_np_rng_state,
+)
+from denoising_diffusion_deep_fake_tpu.utils import (
+    LoggingScheduler,
+    TensorBoardLogger,
+)
+
+
+class LoopContext:
+    """Holds the cross-step services every workload loop needs."""
+
+    def __init__(self, cfg, hparams: dict, *, workload: str,
+                 clock: Callable[[], float] = time.time):
+        self.cfg = cfg
+        self.hparams = hparams
+        self.workload = workload
+        self.clock = clock
+        self.tb = TensorBoardLogger(f"{cfg.log_dir}/{workload}")
+        self.ckpt = CheckpointManager(cfg.checkpoint_dir,
+                                      keep=cfg.keep_checkpoints)
+        self.image_scheduler = LoggingScheduler(clock)
+        self._last_ckpt_time = clock()
+        self.global_step = 0
+        self.epoch = 0
+
+    # ------------------------------------------------------------- cadence
+
+    def want_images(self) -> bool:
+        self.image_scheduler.update_with_step_number(self.global_step)
+        return self.image_scheduler.should_we_log_this_step()
+
+    def log_step(self, metrics: dict[str, Any],
+                 images: dict[str, Any] | None = None) -> None:
+        step = self.global_step
+        if step % self.cfg.log_every_n_steps == 0:
+            fetched = {k: float(v) for k, v in
+                       jax.device_get(metrics).items()}
+            fetched["epoch"] = float(self.epoch)
+            self.tb.log_scalars(fetched, step)
+        if images:
+            for tag, batch in jax.device_get(images).items():
+                self.tb.log_batch_as_image_grid(tag, batch, step)
+
+    def maybe_checkpoint(self, states, rng, *, force: bool = False) -> None:
+        elapsed_h = (self.clock() - self._last_ckpt_time) / 3600.0
+        if force or elapsed_h >= self.cfg.checkpoint_every_hours:
+            self._last_ckpt_time = self.clock()
+            extra = save_np_rng_state(
+                {"epoch": self.epoch, "global_step": self.global_step,
+                 "workload": self.workload}, rng)
+            self.ckpt.save(self.global_step, states, self.hparams, extra)
+
+    def close(self) -> None:
+        self.tb.flush()
+        self.tb.close()

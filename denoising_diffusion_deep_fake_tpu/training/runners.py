@@ -1,0 +1,268 @@
+"""Workload runners: wire config -> data -> trainer -> loop -> checkpoints.
+
+Each ``fit_*`` mirrors one reference CLI entry point end to end:
+* ``fit_deep_fake`` == ``d3f train new/resume/modify``
+  (`/root/reference/d3f/train_deep_fake/start_training.py:8-59`),
+* ``fit_denoiser`` == ``d3f denoise`` (`d3f/train_denoiser/train_denoiser.py:7-52`),
+* ``fit_balance`` == ``d3f balance`` — plus the output-manifest write the
+  reference never implemented (`d3f/balance_training_images/balance_training_images.py:7-57`,
+  SURVEY.md §2 #7).
+
+All three share one data path (uint8 loader -> on-device normalize/augment)
+and one mesh: batches are sharded over the ``data`` axis; states replicated;
+XLA inserts the gradient all-reduces.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from denoising_diffusion_deep_fake_tpu.checkpoint import (
+    CheckpointManager,
+    load_rng_key,
+    reset_for_modify,
+)
+from denoising_diffusion_deep_fake_tpu.config import (
+    BalanceConfig,
+    DeepFakeConfig,
+    DenoiserConfig,
+    config_to_dict,
+)
+from denoising_diffusion_deep_fake_tpu.data import ImageLoader
+from denoising_diffusion_deep_fake_tpu.data.loader import PairedLoader
+from denoising_diffusion_deep_fake_tpu.parallel import (
+    create_mesh,
+    shard_batch,
+    shard_state,
+)
+from denoising_diffusion_deep_fake_tpu.training.balance import (
+    BalanceTrainer,
+    compute_difficulty_index,
+)
+from denoising_diffusion_deep_fake_tpu.training.deep_fake import DeepFakeTrainer
+from denoising_diffusion_deep_fake_tpu.training.denoiser import DenoiserTrainer
+from denoising_diffusion_deep_fake_tpu.training.loop import LoopContext
+
+
+def print_hparams(hparams: dict) -> None:
+    print("\nHyper Parameters:")
+    for k, v in hparams.items():
+        print(f"\t{k}: {v}")
+    print()
+
+
+def _steps_per_epoch(cfg, loader) -> int:
+    return (cfg.steps_per_epoch if cfg.steps_per_epoch is not None
+            else loader.batches_per_epoch)
+
+
+# ------------------------------------------------------------------ deep fake
+
+
+def fit_deep_fake(cfg: DeepFakeConfig, *, resume_from: str | None = None,
+                  modify_from: str | None = None, max_steps: int | None = None,
+                  verbose: bool = True):
+    """Train the two-identity workload; returns (states, trainer, context)."""
+    hparams = config_to_dict(cfg)
+    if verbose:
+        print_hparams(hparams)
+
+    loader_a = ImageLoader(cfg.data_path_a, cfg.batch_size,
+                           image_size=cfg.image_size, seed=cfg.seed)
+    loader_b = ImageLoader(cfg.data_path_b, cfg.batch_size,
+                           image_size=cfg.image_size, seed=cfg.seed + 1)
+    paired = PairedLoader(loader_a, loader_b)
+
+    mesh = create_mesh(cfg.data_parallel)
+    trainer = DeepFakeTrainer(cfg, steps_per_epoch=_steps_per_epoch(cfg, paired),
+                              image_size=paired.image_size)
+
+    ctx = LoopContext(cfg, hparams, workload="deep_fake")
+    rng = jax.random.PRNGKey(cfg.seed)
+    start_epoch = 0
+
+    if resume_from or modify_from:
+        source = CheckpointManager(resume_from or modify_from)
+        # Restore target structure must match what the checkpoint holds: its
+        # own mode decides whether EMA shadows exist (strict=False analog).
+        ckpt_mode = source.read_meta()["hparams"].get("mode", cfg.mode)
+        states, meta = source.restore(
+            lambda: trainer.init_states(jax.random.PRNGKey(cfg.seed),
+                                        with_ema=ckpt_mode == "swap"))
+        if resume_from:
+            start_epoch = int(meta["extra"].get("epoch", 0)) + 1
+            ctx.global_step = int(meta["extra"].get("global_step", 0))
+            restored_rng = load_rng_key(meta["extra"])
+            rng = restored_rng if restored_rng is not None else rng
+        else:
+            states = reset_for_modify(states, trainer.tx.init)
+        if cfg.mode == "swap":
+            states = trainer.ensure_ema(states)
+    else:
+        states = trainer.init_states(rng)
+
+    states = shard_state(states, mesh)
+    step_plain = trainer.make_train_step(with_images=False)
+    step_img = trainer.make_train_step(with_images=True, donate=False)
+
+    done = False
+    for epoch in range(start_epoch, cfg.max_epochs):
+        ctx.epoch = epoch
+        for (batch_a, _), (batch_b, _) in paired.epoch(epoch):
+            batch_a = shard_batch(batch_a, mesh)
+            batch_b = shard_batch(batch_b, mesh)
+            step_rng = jax.random.fold_in(rng, ctx.global_step)
+            if ctx.want_images():
+                states, metrics, images = step_img(states, batch_a, batch_b,
+                                                   step_rng)
+                ctx.log_step(metrics, images)
+            else:
+                states, metrics = step_plain(states, batch_a, batch_b, step_rng)
+                ctx.log_step(metrics)
+            ctx.global_step += 1
+            ctx.maybe_checkpoint(states, rng)
+            if max_steps is not None and ctx.global_step >= max_steps:
+                done = True
+                break
+        ctx.maybe_checkpoint(states, rng, force=True)  # 'last' per epoch end
+        if done:
+            break
+
+    ctx.close()
+    return states, trainer, ctx
+
+
+# ------------------------------------------------------------------- denoiser
+
+
+def fit_denoiser(cfg: DenoiserConfig, *, max_steps: int | None = None,
+                 verbose: bool = True):
+    hparams = config_to_dict(cfg)
+    if verbose:
+        print_hparams(hparams)
+
+    loader = ImageLoader(cfg.input_image_list_path, cfg.batch_size,
+                         image_size=cfg.image_size, seed=cfg.seed)
+    mesh = create_mesh(cfg.data_parallel)
+    trainer = DenoiserTrainer(cfg, steps_per_epoch=_steps_per_epoch(cfg, loader),
+                              image_size=loader.image_size)
+
+    ctx = LoopContext(cfg, hparams, workload="denoiser")
+    rng = jax.random.PRNGKey(cfg.seed)
+    state = shard_state(trainer.init_state(rng), mesh)
+    step_plain = trainer.make_train_step(with_images=False)
+    step_img = trainer.make_train_step(with_images=True, donate=False)
+
+    done = False
+    for epoch in range(cfg.max_epochs):
+        ctx.epoch = epoch
+        for batch, _ in loader.epoch(epoch):
+            batch = shard_batch(batch, mesh)
+            step_rng = jax.random.fold_in(rng, ctx.global_step)
+            if ctx.want_images():
+                state, metrics, images = step_img(state, batch, step_rng)
+                ctx.log_step(metrics, images)
+            else:
+                state, metrics = step_plain(state, batch, step_rng)
+                ctx.log_step(metrics)
+            ctx.global_step += 1
+            ctx.maybe_checkpoint(state, rng)
+            if max_steps is not None and ctx.global_step >= max_steps:
+                done = True
+                break
+        ctx.maybe_checkpoint(state, rng, force=True)
+        if done:
+            break
+
+    ctx.close()
+    return state, trainer, ctx
+
+
+# -------------------------------------------------------------------- balance
+
+
+def fit_balance(cfg: BalanceConfig, *, max_steps: int | None = None,
+                verbose: bool = True):
+    """Train at fixed noise, score difficulties, log histogram, write manifest."""
+    hparams = config_to_dict(cfg)
+    if verbose:
+        print_hparams(hparams)
+
+    loader = ImageLoader(cfg.data_path, cfg.batch_size,
+                         image_size=cfg.image_size, seed=cfg.seed)
+    # Validation pass: same dataset, stable order, no remainder dropped so
+    # every image gets a difficulty class.
+    val_loader = ImageLoader(cfg.data_path, cfg.batch_size,
+                             image_size=cfg.image_size, shuffle=False,
+                             drop_remainder=False)
+    mesh = create_mesh(cfg.data_parallel)
+    trainer = BalanceTrainer(cfg, steps_per_epoch=_steps_per_epoch(cfg, loader),
+                             image_size=loader.image_size)
+
+    ctx = LoopContext(cfg, hparams, workload="balance")
+    rng = jax.random.PRNGKey(cfg.seed)
+    state = shard_state(trainer.init_state(rng), mesh)
+    step_plain = trainer.make_train_step(with_images=False)
+    step_img = trainer.make_train_step(with_images=True, donate=False)
+
+    done = False
+    for epoch in range(cfg.max_epochs):
+        ctx.epoch = epoch
+        for batch, _ in loader.epoch(epoch):
+            batch = shard_batch(batch, mesh)
+            step_rng = jax.random.fold_in(rng, ctx.global_step)
+            if ctx.want_images():
+                state, metrics, images = step_img(state, batch, step_rng)
+                ctx.log_step(metrics, images)
+            else:
+                state, metrics = step_plain(state, batch, step_rng)
+                ctx.log_step(metrics)
+            ctx.global_step += 1
+            ctx.maybe_checkpoint(state, rng)
+            if max_steps is not None and ctx.global_step >= max_steps:
+                done = True
+                break
+
+        # Validation: per-image difficulty scores -> classes -> histogram.
+        # Validation keys live in a disjoint fold-in range from train steps.
+        indices, losses = trainer.score_dataset(
+            state, val_loader, jax.random.fold_in(rng, 2_000_000_000 + epoch))
+        classes = compute_difficulty_index(losses, cfg.number_of_classes)
+        _log_difficulty_histogram(ctx, classes)
+        if cfg.output_image_list_path:
+            write_balanced_manifest(cfg, val_loader, indices, classes)
+        ctx.maybe_checkpoint(state, rng, force=True)
+        if done:
+            break
+
+    ctx.close()
+    return state, trainer, ctx
+
+
+def _log_difficulty_histogram(ctx: LoopContext, classes: np.ndarray) -> None:
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    figure, axes = plt.subplots(1, 1)
+    axes.hist(classes)
+    axes.set_xlabel("Difficulty Class")
+    axes.set_ylabel("Count")
+    ctx.tb.log_figure("difficulty_class_histogram", figure, ctx.global_step)
+    plt.close(figure)
+
+
+def write_balanced_manifest(cfg: BalanceConfig, loader: ImageLoader,
+                            indices: np.ndarray, classes: np.ndarray) -> None:
+    """Emit ``<path>\t<difficulty_class>`` — the completed --output_list."""
+    from denoising_diffusion_deep_fake_tpu.data import write_image_manifest
+
+    order = np.argsort(indices)
+    paths = [loader.paths[i] for i in indices[order]]
+    write_image_manifest(cfg.output_image_list_path, paths, classes[order])

@@ -1,0 +1,170 @@
+"""Import reference (torch/Lightning) checkpoints into this framework.
+
+The reference trains ``segmentation_models_pytorch.Unet`` models inside
+Lightning modules (`/root/reference/d3f/train_deep_fake/lit_module.py:53-59`),
+so existing users have ``.ckpt`` files with torch state_dicts. This module
+maps those weights onto our Flax U-Net (whose topology is an exact parity
+rebuild — see ``models/unet.py``), enabling:
+
+* bit-comparable fp32 forward parity checks against the reference (the
+  north-star PSNR > 40 dB gate is measured with imported weights), and
+* migration: swap videos through an existing reference checkpoint on TPU.
+
+Layout conventions translated:
+* conv weights  OIHW (torch) -> HWIO (flax): ``transpose(2, 3, 1, 0)``,
+* BN ``weight/bias`` -> ``scale/bias`` params; ``running_mean/var`` ->
+  ``batch_stats`` ``mean/var``,
+* torchvision encoder naming (``layer1.0.conv1``) -> our flat block names
+  (``layer1_0/conv1``); smp decoder ``blocks.N.convK.{0,1}`` (Sequential
+  conv/bn) -> ``decoder_blockN/convK/{conv,bn}``.
+
+Only numpy is required here; loading the ``.ckpt`` needs torch (baked in,
+CPU-only is fine).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any
+
+import numpy as np
+
+
+def _set(tree: dict, path: list[str], value: np.ndarray) -> None:
+    node = tree
+    for key in path[:-1]:
+        node = node.setdefault(key, {})
+    node[path[-1]] = value
+
+
+def _conv_kernel(w: np.ndarray) -> np.ndarray:
+    return np.ascontiguousarray(np.transpose(w, (2, 3, 1, 0)))
+
+
+_BN_PARAM = {"weight": "scale", "bias": "bias"}
+_BN_STAT = {"running_mean": "mean", "running_var": "var"}
+
+
+def convert_smp_unet_state_dict(sd: dict[str, np.ndarray]) -> tuple[dict, dict]:
+    """torch smp-Unet state_dict (numpy values) -> (params, batch_stats)."""
+    params: dict = {}
+    stats: dict = {}
+    unused = []
+    for name, value in sd.items():
+        parts = name.split(".")
+        if parts[-1] == "num_batches_tracked":
+            continue
+        handled = _convert_entry(parts, np.asarray(value), params, stats)
+        if not handled:
+            unused.append(name)
+    if unused:
+        raise ValueError(f"unmapped torch keys: {unused[:8]}"
+                         f"{'...' if len(unused) > 8 else ''}")
+    return params, stats
+
+
+def _convert_entry(parts: list[str], value: np.ndarray, params: dict,
+                   stats: dict) -> bool:
+    leaf = parts[-1]
+
+    # ---- encoder ----
+    if parts[0] == "encoder":
+        if parts[1] == "conv1" and leaf == "weight":
+            _set(params, ["encoder", "conv1", "kernel"], _conv_kernel(value))
+            return True
+        if parts[1] == "bn1":
+            return _bn_entry(["encoder", "bn1"], leaf, value, params, stats)
+        m = re.fullmatch(r"layer(\d)", parts[1])
+        if m:
+            block = f"layer{m.group(1)}_{parts[2]}"
+            sub = parts[3]
+            if sub.startswith("conv") and leaf == "weight":
+                _set(params, ["encoder", block, sub, "kernel"],
+                     _conv_kernel(value))
+                return True
+            if sub.startswith("bn"):
+                return _bn_entry(["encoder", block, sub], leaf, value,
+                                 params, stats)
+            if sub == "downsample":
+                if parts[4] == "0" and leaf == "weight":
+                    _set(params, ["encoder", block, "downsample_conv",
+                                  "kernel"], _conv_kernel(value))
+                    return True
+                if parts[4] == "1":
+                    return _bn_entry(["encoder", block, "downsample_bn"],
+                                     leaf, value, params, stats)
+        return False
+
+    # ---- decoder ----
+    if parts[0] == "decoder" and parts[1] == "blocks":
+        block = f"decoder_block{parts[2]}"
+        conv_block = parts[3]  # conv1 | conv2
+        which = parts[4]       # 0 = conv, 1 = bn (smp Conv2dReLU Sequential)
+        if which == "0" and leaf == "weight":
+            _set(params, [block, conv_block, "conv", "kernel"],
+                 _conv_kernel(value))
+            return True
+        if which == "1":
+            return _bn_entry([block, conv_block, "bn"], leaf, value,
+                             params, stats)
+        return False
+
+    # ---- segmentation head ----
+    if parts[0] == "segmentation_head" and parts[1] == "0":
+        if leaf == "weight":
+            _set(params, ["segmentation_head", "kernel"], _conv_kernel(value))
+            return True
+        if leaf == "bias":
+            _set(params, ["segmentation_head", "bias"], value)
+            return True
+    return False
+
+
+def _bn_entry(path: list[str], leaf: str, value: np.ndarray, params: dict,
+              stats: dict) -> bool:
+    if leaf in _BN_PARAM:
+        _set(params, path + [_BN_PARAM[leaf]], value)
+        return True
+    if leaf in _BN_STAT:
+        _set(stats, path + [_BN_STAT[leaf]], value)
+        return True
+    return False
+
+
+def split_lightning_state_dict(sd: dict[str, Any]) -> dict[str, dict]:
+    """Group a Lightning checkpoint state_dict by model prefix.
+
+    Returns e.g. ``{"model_a": {...}, "model_b": {...},
+    "ema_model_a": {...}}`` with per-model smp-relative keys. EMA entries are
+    ema_pytorch's ``ema_model_a.ema_model.<smp key>``; its ``initted``/``step``
+    buffers are dropped.
+    """
+    groups: dict[str, dict] = {}
+    for name, value in sd.items():
+        parts = name.split(".", 1)
+        if len(parts) != 2:
+            continue
+        prefix, rest = parts
+        if prefix.startswith("ema_model"):
+            sub = rest.split(".", 1)
+            if sub[0] != "ema_model" or len(sub) != 2:
+                continue  # initted/step buffers or online copy
+            rest = sub[1]
+        elif prefix == "criterion":
+            continue  # SSIM window buffers — recomputed here
+        groups.setdefault(prefix, {})[rest] = np.asarray(value)
+    return groups
+
+
+def load_reference_checkpoint(ckpt_path) -> dict:
+    """Load a reference ``.ckpt``; returns {model_name: (params, stats)}."""
+    import torch
+
+    ckpt = torch.load(ckpt_path, map_location="cpu", weights_only=False)
+    sd = {k: v.numpy() if hasattr(v, "numpy") else v
+          for k, v in ckpt["state_dict"].items()}
+    out = {}
+    for model_name, model_sd in split_lightning_state_dict(sd).items():
+        out[model_name] = convert_smp_unet_state_dict(model_sd)
+    out["hyper_parameters"] = dict(ckpt.get("hyper_parameters", {}))
+    return out

@@ -1,0 +1,90 @@
+"""Logging scheduler cadence + TB logger artifact tests."""
+
+import numpy as np
+
+from denoising_diffusion_deep_fake_tpu.utils import (
+    LoggingScheduler,
+    TensorBoardLogger,
+)
+
+
+class FakeClock:
+    def __init__(self):
+        self.t = 1000.0
+
+    def __call__(self):
+        return self.t
+
+
+def test_scheduler_cadence_matches_reference_thresholds():
+    clock = FakeClock()
+    s = LoggingScheduler(clock)
+    # First minute: 10 s interval.
+    assert s.interval_for_elapsed(30) == 10
+    # Until 15 min: 1 min.
+    assert s.interval_for_elapsed(5 * 60) == 60
+    # Until 2 h: 10 min.
+    assert s.interval_for_elapsed(60 * 60) == 600
+    # After: hourly.
+    assert s.interval_for_elapsed(3 * 3600) == 3600
+
+
+def test_scheduler_step_keyed_decision():
+    clock = FakeClock()
+    s = LoggingScheduler(clock)
+    s.update_with_step_number(0)
+    assert not s.should_we_log_this_step()  # 0 s elapsed < 10 s
+    clock.t += 11
+    s.update_with_step_number(1)
+    assert s.should_we_log_this_step()
+    # Same step again: decision must not flip (reference keys on step change).
+    s.update_with_step_number(1)
+    assert s.should_we_log_this_step()
+    # Next step too soon (1 s since last log < 10 s interval): no log.
+    clock.t += 1
+    s.update_with_step_number(2)
+    assert not s.should_we_log_this_step()
+
+
+def test_scheduler_safe_before_any_update():
+    # Reference's log_this_step was unset before first update (SURVEY
+    # appendix #5); ours must default False.
+    assert not LoggingScheduler(FakeClock()).should_we_log_this_step()
+
+
+def test_tb_logger_writes_event_files(tmp_path, rng):
+    logger = TensorBoardLogger(tmp_path / "tb")
+    logger.log_scalars({"loss": 0.5, "epoch": 1.0}, step=3)
+    batch = rng.random((9, 8, 8, 3)).astype(np.float32) * 2 - 1
+    import jax.numpy as jnp
+
+    logger.log_batch_as_image_grid("panel", jnp.asarray(batch), step=3)
+
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig, ax = plt.subplots()
+    ax.hist([1, 2, 2, 3])
+    logger.log_figure("hist", fig, step=3)
+    plt.close(fig)
+    logger.close()
+
+    files = list((tmp_path / "tb").glob("events.out.tfevents.*"))
+    assert files and files[0].stat().st_size > 0
+
+
+def test_figure_to_rgb_array():
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    from denoising_diffusion_deep_fake_tpu.utils.tb import figure_to_rgb_array
+
+    fig, ax = plt.subplots()
+    ax.plot([0, 1], [1, 0])
+    arr = figure_to_rgb_array(fig)
+    plt.close(fig)
+    assert arr.ndim == 3 and arr.shape[2] == 3 and arr.dtype == np.uint8
