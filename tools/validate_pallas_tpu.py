@@ -1,0 +1,87 @@
+"""Validate + micro-bench the Pallas kernels on real TPU hardware.
+
+Run with the chip free:  python tools/validate_pallas_tpu.py
+Checks noise statistics, seed determinism, and compares the fused kernel's
+step time against the jnp (XLA threefry) composition at a production shape.
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from denoising_diffusion_deep_fake_tpu.ops import blend_random_amount_of_noise
+from denoising_diffusion_deep_fake_tpu.ops.augment import normalise_batch
+from denoising_diffusion_deep_fake_tpu.ops.pallas.noise_kernel import (
+    fused_normalise_noise_blend,
+)
+
+
+def timeit(f, *args, iters=30):
+    out = f(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = f(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / iters * 1e3
+
+
+def main():
+    assert jax.default_backend() == "tpu", jax.default_backend()
+    rng = np.random.default_rng(0)
+    b, size = 32, 256
+    batch = jnp.asarray(rng.integers(0, 256, (b, size, size, 3),
+                                     dtype=np.uint8))
+    mean = std = (0.5, 0.5, 0.5)
+
+    # Statistics: pure-noise output must be ~N(0,1).
+    ones = jnp.ones((b,), jnp.float32)
+    out = np.asarray(fused_normalise_noise_blend(batch, ones, mean, std,
+                                                 seed=1))
+    print(f"noise stats: mean={out.mean():+.4f} var={out.var():.4f} "
+          f"max|x|={np.abs(out).max():.2f}")
+    assert abs(out.mean()) < 0.02 and abs(out.var() - 1.0) < 0.02
+
+    # Seed determinism.
+    a1 = np.asarray(fused_normalise_noise_blend(batch, ones, mean, std, seed=7))
+    a2 = np.asarray(fused_normalise_noise_blend(batch, ones, mean, std, seed=7))
+    a3 = np.asarray(fused_normalise_noise_blend(batch, ones, mean, std, seed=8))
+    assert np.array_equal(a1, a2) and not np.array_equal(a1, a3)
+    print("seed determinism OK")
+
+    # Zero ratio == pure normalization.
+    z = np.asarray(fused_normalise_noise_blend(batch, ones * 0, mean, std,
+                                               seed=1))
+    want = (np.asarray(batch).astype(np.float32) - 127.5) / 127.5
+    np.testing.assert_allclose(z, want, atol=1e-5)
+    print("normalization parity OK")
+
+    # Micro-bench vs the jnp composition at 256² batch 32.
+    half = jnp.full((b,), 0.5, jnp.float32)
+    fused = jax.jit(lambda u8: fused_normalise_noise_blend(
+        u8, half, mean, std, seed=3))
+
+    @jax.jit
+    def xla_path(u8, key):
+        x = normalise_batch(u8, mean, std)
+        noisy, _ = blend_random_amount_of_noise(key, x, 5.0)
+        return noisy
+
+    t_fused = timeit(fused, batch)
+    t_xla = timeit(xla_path, batch, jax.random.PRNGKey(0))
+    mb = b * size * size * 3 * (1 + 4) / 1e6
+    print(f"fused pallas: {t_fused:.3f} ms  ({mb / t_fused:.1f} GB/s eff)")
+    print(f"xla compose : {t_xla:.3f} ms")
+    print(f"speedup: {t_xla / t_fused:.2f}x")
+
+
+if __name__ == "__main__":
+    main()
