@@ -57,11 +57,11 @@ def bench_denoiser_throughput(batch_size: int = 32, image_size: int = 64,
 def main() -> None:
     result = bench_denoiser_throughput()
     # Baseline: the north star asks for >10x the CPU reference per chip.
-    # Measured CPU-reference-equivalent throughput on this host (single-core
-    # torch CPU training of the same model/shape) is ~2 imgs/sec; the
-    # committed target baseline is therefore 20 imgs/sec (10x). vs_baseline
-    # is the multiple of that target we achieve.
-    target = 20.0
+    # The measured CPU reference (tools/torch_cpu_baseline.py — torch CPU
+    # train step, identical architecture/shape, this host) is 22.1 imgs/sec
+    # (BASELINE.md), so the target baseline is 221 imgs/sec; vs_baseline is
+    # the multiple of that target we achieve.
+    target = 221.0
     print(json.dumps({
         "metric": "denoiser_train_imgs_per_sec_per_chip_64px_bf16",
         "value": round(result["imgs_per_sec"], 1),

@@ -56,7 +56,8 @@ class ImageLoader:
                  image_size: int | None = None, shuffle: bool = True,
                  seed: int = 0, drop_remainder: bool = True,
                  prefetch_batches: int = 2,
-                 decode_fn: Callable[[str], np.ndarray] | None = None):
+                 decode_fn: Callable[[str], np.ndarray] | None = None,
+                 use_native: bool = True, native_threads: int = 4):
         self.manifest_path = Path(manifest_path)
         self.paths = [str(p) for p in read_image_manifest(manifest_path)]
         if not self.paths:
@@ -76,6 +77,17 @@ class ImageLoader:
             image_size = probe.shape[0]
         self.image_size = image_size
 
+        # Prefer the native C++ batch loader (decode + crop/resize + batch
+        # assembly with a thread pool, data/native_loader.py) unless the
+        # caller supplied a custom decode_fn or the library is unavailable.
+        self.load_batch_fn = None
+        if use_native and decode_fn is None:
+            from denoising_diffusion_deep_fake_tpu.data import native_loader
+
+            if native_loader.available():
+                self.load_batch_fn = native_loader.NativeBatchSource(
+                    image_size, n_threads=native_threads)
+
     def __len__(self) -> int:
         return len(self.paths)
 
@@ -94,6 +106,9 @@ class ImageLoader:
 
     def _load_batch(self, indices: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
         size = self.image_size
+        if self.load_batch_fn is not None:
+            batch = self.load_batch_fn([self.paths[i] for i in indices])
+            return batch, indices.astype(np.int32)
         batch = np.empty((len(indices), size, size, 3), dtype=np.uint8)
         for row, idx in enumerate(indices):
             batch[row] = _resize_if_needed(self.decode_fn(self.paths[idx]), size)
