@@ -5,14 +5,24 @@ reference leaned on (`/root/reference/d3f/train_deep_fake/start_training.py:43-5
 epoch iteration, step counting, scalar/image logging cadence, and wall-clock
 checkpointing. Device work stays asynchronous — metrics are only fetched on
 logging steps, so the host never blocks the TPU stream between steps.
+
+Failure detection (absent in the reference — SURVEY.md §5): fetched metrics
+are NaN/Inf-guarded; divergence triggers an emergency checkpoint and a
+``TrainingDivergedError`` naming the bad metric, instead of silently burning
+epochs on garbage.
 """
 
 from __future__ import annotations
 
+import math
 import time
 from typing import Any, Callable
 
 import jax
+
+
+class TrainingDivergedError(RuntimeError):
+    """A train metric went NaN/Inf; an emergency checkpoint was saved."""
 
 from denoising_diffusion_deep_fake_tpu.checkpoint import (
     CheckpointManager,
@@ -48,16 +58,28 @@ class LoopContext:
         return self.image_scheduler.should_we_log_this_step()
 
     def log_step(self, metrics: dict[str, Any],
-                 images: dict[str, Any] | None = None) -> None:
+                 images: dict[str, Any] | None = None,
+                 states=None, rng=None) -> None:
         step = self.global_step
         if step % self.cfg.log_every_n_steps == 0:
             fetched = {k: float(v) for k, v in
                        jax.device_get(metrics).items()}
+            self._guard_finite(fetched, states, rng)
             fetched["epoch"] = float(self.epoch)
             self.tb.log_scalars(fetched, step)
         if images:
             for tag, batch in jax.device_get(images).items():
                 self.tb.log_batch_as_image_grid(tag, batch, step)
+
+    def _guard_finite(self, fetched: dict[str, float], states, rng) -> None:
+        bad = [k for k, v in fetched.items() if not math.isfinite(v)]
+        if not bad:
+            return
+        if states is not None and rng is not None:
+            self.maybe_checkpoint(states, rng, force=True)
+        raise TrainingDivergedError(
+            f"non-finite metric(s) {bad} at step {self.global_step}"
+            + ("; emergency checkpoint saved" if states is not None else ""))
 
     def maybe_checkpoint(self, states, rng, *, force: bool = False) -> None:
         elapsed_h = (self.clock() - self._last_ckpt_time) / 3600.0

@@ -15,9 +15,6 @@ XLA inserts the gradient all-reduces.
 
 from __future__ import annotations
 
-import dataclasses
-import time
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -120,10 +117,10 @@ def fit_deep_fake(cfg: DeepFakeConfig, *, resume_from: str | None = None,
             if ctx.want_images():
                 states, metrics, images = step_img(states, batch_a, batch_b,
                                                    step_rng)
-                ctx.log_step(metrics, images)
+                ctx.log_step(metrics, images, states=states, rng=rng)
             else:
                 states, metrics = step_plain(states, batch_a, batch_b, step_rng)
-                ctx.log_step(metrics)
+                ctx.log_step(metrics, states=states, rng=rng)
             ctx.global_step += 1
             ctx.maybe_checkpoint(states, rng)
             if max_steps is not None and ctx.global_step >= max_steps:
@@ -166,10 +163,10 @@ def fit_denoiser(cfg: DenoiserConfig, *, max_steps: int | None = None,
             step_rng = jax.random.fold_in(rng, ctx.global_step)
             if ctx.want_images():
                 state, metrics, images = step_img(state, batch, step_rng)
-                ctx.log_step(metrics, images)
+                ctx.log_step(metrics, images, states=state, rng=rng)
             else:
                 state, metrics = step_plain(state, batch, step_rng)
-                ctx.log_step(metrics)
+                ctx.log_step(metrics, states=state, rng=rng)
             ctx.global_step += 1
             ctx.maybe_checkpoint(state, rng)
             if max_steps is not None and ctx.global_step >= max_steps:
@@ -218,10 +215,10 @@ def fit_balance(cfg: BalanceConfig, *, max_steps: int | None = None,
             step_rng = jax.random.fold_in(rng, ctx.global_step)
             if ctx.want_images():
                 state, metrics, images = step_img(state, batch, step_rng)
-                ctx.log_step(metrics, images)
+                ctx.log_step(metrics, images, states=state, rng=rng)
             else:
                 state, metrics = step_plain(state, batch, step_rng)
-                ctx.log_step(metrics)
+                ctx.log_step(metrics, states=state, rng=rng)
             ctx.global_step += 1
             ctx.maybe_checkpoint(state, rng)
             if max_steps is not None and ctx.global_step >= max_steps:

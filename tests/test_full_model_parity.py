@@ -1,0 +1,97 @@
+"""Full-model fp32 forward parity: torch U-Net replica vs flax via importer.
+
+This is the north-star parity gate (BASELINE.json: "PSNR > 40 dB vs
+reference, fp32"): build the torch smp-Unet(resnet34) replica (the same one
+used to measure the CPU baseline, whose param count matches the reference's
+model exactly), export its weights with smp state_dict naming, import them
+through ``utils/torch_import.py``, and compare whole-model forward outputs.
+"""
+
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+
+import jax
+import jax.numpy as jnp
+
+from denoising_diffusion_deep_fake_tpu.models import create_unet
+from denoising_diffusion_deep_fake_tpu.utils.torch_import import (
+    convert_smp_unet_state_dict,
+)
+
+
+def _smp_named_state_dict(model) -> dict:
+    """Rename the local replica's keys to smp/torchvision convention."""
+    out = {}
+    for name, value in model.state_dict().items():
+        if name.startswith("encoder.layers."):
+            # encoder.layers.{li}.{bi}.rest -> encoder.layer{li+1}.{bi}.rest
+            parts = name.split(".")
+            li, bi, rest = int(parts[2]), parts[3], ".".join(parts[4:])
+            rest = rest.replace("down.", "downsample.")
+            name = f"encoder.layer{li + 1}.{bi}.{rest}"
+        elif name.startswith("blocks."):
+            name = "decoder." + name
+        elif name.startswith("head."):
+            name = name.replace("head.", "segmentation_head.0.")
+        else:
+            name = name.replace(".down.", ".downsample.")
+        out[name] = value.detach().numpy()
+    return out
+
+
+def psnr(a: np.ndarray, b: np.ndarray, peak: float) -> float:
+    mse = float(np.mean((a - b) ** 2))
+    return 10.0 * np.log10(peak ** 2 / mse) if mse > 0 else np.inf
+
+
+@pytest.fixture(scope="module")
+def models():
+    from torch_cpu_baseline import Unet34
+
+    torch.manual_seed(0)
+    tmodel = Unet34().eval()
+    sd = _smp_named_state_dict(tmodel)
+    params, stats = convert_smp_unet_state_dict(sd)
+    fmodel = create_unet("resnet34")
+    return tmodel, fmodel, {"params": params, "batch_stats": stats}
+
+
+def test_eval_forward_parity_exceeds_psnr_gate(models, rng):
+    tmodel, fmodel, variables = models
+    x = rng.standard_normal((2, 3, 64, 64)).astype(np.float32) * 0.5
+    with torch.no_grad():
+        want = tmodel(torch.from_numpy(x)).numpy()
+    got = np.asarray(fmodel.apply(
+        variables, jnp.asarray(np.transpose(x, (0, 2, 3, 1))), train=False))
+    got_nchw = np.transpose(got, (0, 3, 1, 2))
+
+    peak = float(np.abs(want).max())
+    p = psnr(got_nchw, want, peak)
+    assert p > 40.0, f"PSNR {p:.1f} dB below the 40 dB parity gate"
+    # fp32 elementwise agreement is far tighter than the gate in practice.
+    np.testing.assert_allclose(got_nchw, want, atol=5e-4, rtol=1e-3)
+
+
+def test_train_mode_forward_parity(models, rng):
+    # Train-mode BN (batch statistics) — the path the EMA fake generation
+    # uses inside the swap step.
+    tmodel, fmodel, variables = models
+    tmodel.train()
+    x = rng.standard_normal((4, 3, 64, 64)).astype(np.float32)
+    with torch.no_grad():
+        want = tmodel(torch.from_numpy(x)).numpy()
+    tmodel.eval()
+    got, _ = fmodel.apply(
+        variables, jnp.asarray(np.transpose(x, (0, 2, 3, 1))), train=True,
+        mutable=["batch_stats"])
+    got_nchw = np.transpose(np.asarray(got), (0, 3, 1, 2))
+    peak = float(np.abs(want).max())
+    assert psnr(got_nchw, want, peak) > 40.0
+    np.testing.assert_allclose(got_nchw, want, atol=2e-3, rtol=1e-2)
