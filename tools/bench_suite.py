@@ -1,0 +1,146 @@
+"""Extended benchmark suite over the BASELINE.json config ladder.
+
+Measures, on the real chip (run with the TPU free):
+  1. 64²  single-identity denoiser train step        (configs[0] shape)
+  2. 128² two-identity swap train step               (configs[1])
+  3. 256² denoiser with fused on-device augmentation (configs[2])
+  4. 256² batched 50-step DDIM swap inference, bf16  (configs[3])
+  5. 448² video-shape single-pass swap forward       (configs[4] core op)
+
+Prints one JSON line per row; bench.py stays the driver's single headline.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def timed_steps(fn, *args, steps=20, warmup=3, donate_state=None):
+    out = None
+    state = donate_state
+    for i in range(warmup):
+        out = fn(*args) if state is None else fn(state, *args)
+        if state is not None:
+            state = out[0]
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for i in range(steps):
+        out = fn(*args) if state is None else fn(state, *args)
+        if state is not None:
+            state = out[0]
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / steps
+
+
+def report(name, value, unit, **extra):
+    print(json.dumps({"metric": name, "value": round(value, 2), "unit": unit,
+                      **extra}), flush=True)
+
+
+def bench_denoiser(size, batch, encoder="resnet34", steps=20):
+    from denoising_diffusion_deep_fake_tpu.config import (
+        DenoiserConfig, config_from_dict)
+    from denoising_diffusion_deep_fake_tpu.training.denoiser import (
+        DenoiserTrainer)
+
+    cfg = config_from_dict(DenoiserConfig, dict(
+        input_image_list_path="x", batch_size=batch, learning_rate=2e-2,
+        encoder_name=encoder, compute_dtype="bfloat16",
+        noise_exponential_sampling_lambda=5.0), validate=False)
+    tr = DenoiserTrainer(cfg, steps_per_epoch=1000, image_size=size)
+    state = tr.init_state(jax.random.PRNGKey(0))
+    step = tr.make_train_step()
+    rng = np.random.default_rng(0)
+    u8 = jnp.asarray(rng.integers(0, 256, (batch, size, size, 3),
+                                  dtype=np.uint8))
+    key = jax.random.PRNGKey(1)
+
+    def one(state):
+        return step(state, u8, key)
+
+    dt = timed_steps(one, steps=steps, donate_state=state)
+    report(f"denoiser_train_{size}px_b{batch}", batch / dt, "imgs/sec",
+           step_ms=round(dt * 1e3, 2))
+
+
+def bench_swap_train(size, batch, encoder="resnet34", steps=10):
+    from denoising_diffusion_deep_fake_tpu.config import (
+        DeepFakeConfig, config_from_dict)
+    from denoising_diffusion_deep_fake_tpu.training.deep_fake import (
+        DeepFakeTrainer)
+
+    cfg = config_from_dict(DeepFakeConfig, dict(
+        mode="swap", data_path_a="x", data_path_b="y", batch_size=batch,
+        learning_rate=1e-2, encoder_name=encoder, compute_dtype="bfloat16",
+        noise_exponential_sampling_lambda=8.0, ema_update_after_step=0),
+        validate=False)
+    tr = DeepFakeTrainer(cfg, steps_per_epoch=1000, image_size=size)
+    states = tr.init_states(jax.random.PRNGKey(0))
+    step = tr.make_train_step()
+    rng = np.random.default_rng(0)
+    a = jnp.asarray(rng.integers(0, 256, (batch, size, size, 3), dtype=np.uint8))
+    b = jnp.asarray(rng.integers(0, 256, (batch, size, size, 3), dtype=np.uint8))
+    key = jax.random.PRNGKey(1)
+
+    def one(states):
+        return step(states, a, b, key)
+
+    dt = timed_steps(one, steps=steps, donate_state=states)
+    # Two models each see `batch` images per step.
+    report(f"swap_train_{size}px_b{batch}_two_models", 2 * batch / dt,
+           "imgs/sec", step_ms=round(dt * 1e3, 2))
+
+
+def bench_ddim_swap(size, batch, sampler_steps=50, encoder="resnet34"):
+    from denoising_diffusion_deep_fake_tpu.models import create_unet
+    from denoising_diffusion_deep_fake_tpu.ops.sampler import swap_refine
+
+    model = create_unet(encoder, dtype=jnp.bfloat16)
+    x = jnp.zeros((batch, size, size, 3), jnp.bfloat16)
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+
+    @jax.jit
+    def swap(x, key):
+        predict = lambda z: model.apply(variables, z, train=False).astype(
+            jnp.bfloat16)
+        return swap_refine(predict, x, key, steps=sampler_steps, r_start=0.7)
+
+    key = jax.random.PRNGKey(1)
+    dt = timed_steps(lambda: swap(x, key), steps=5, warmup=2)
+    report(f"ddim{sampler_steps}_swap_{size}px_b{batch}_bf16", batch / dt,
+           "imgs/sec", step_ms=round(dt * 1e3, 2),
+           sampler_steps_per_sec=round(sampler_steps / dt, 1))
+
+
+def bench_single_pass_swap(size, batch, encoder="resnet34"):
+    from denoising_diffusion_deep_fake_tpu.models import create_unet
+
+    model = create_unet(encoder, dtype=jnp.bfloat16)
+    x = jnp.zeros((batch, size, size, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    fwd = jax.jit(lambda v, x: model.apply(v, x, train=False))
+    dt = timed_steps(lambda: fwd(variables, x), steps=10, warmup=3)
+    report(f"single_pass_swap_{size}px_b{batch}", batch / dt, "frames/sec",
+           step_ms=round(dt * 1e3, 2))
+
+
+def main():
+    assert jax.default_backend() == "tpu", jax.default_backend()
+    bench_denoiser(64, 32)
+    bench_swap_train(128, 16)
+    bench_denoiser(256, 16)
+    bench_ddim_swap(256, 8, 50)
+    bench_single_pass_swap(448, 8)
+
+
+if __name__ == "__main__":
+    main()
