@@ -59,9 +59,14 @@ class ModelState:
 def create_model_state(model, rng: jax.Array, input_shape,
                        tx: optax.GradientTransformation, *,
                        with_ema: bool = False) -> ModelState:
-    """Initialize params/BN/optimizer (and EMA shadow) for a linen model."""
-    variables = model.init(rng, jnp.zeros(input_shape, jnp.float32),
-                           train=False)
+    """Initialize params/BN/optimizer (and EMA shadow) for a linen model.
+
+    Init runs under jit: eager init dispatches one device op per parameter,
+    which over a remote-tunnel TPU costs minutes; jitted it is one program.
+    """
+    variables = jax.jit(
+        lambda rng, x: model.init(rng, x, train=False)
+    )(rng, jnp.zeros(input_shape, jnp.float32))
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
     state = ModelState(

@@ -106,7 +106,8 @@ def bench_ddim_swap(size, batch, sampler_steps=50, encoder="resnet34"):
 
     model = create_unet(encoder, dtype=jnp.bfloat16)
     x = jnp.zeros((batch, size, size, 3), jnp.bfloat16)
-    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    variables = jax.jit(lambda k, x: model.init(k, x, train=False))(
+        jax.random.PRNGKey(0), x)
 
     @jax.jit
     def swap(x, key):
@@ -126,7 +127,8 @@ def bench_single_pass_swap(size, batch, encoder="resnet34"):
 
     model = create_unet(encoder, dtype=jnp.bfloat16)
     x = jnp.zeros((batch, size, size, 3), jnp.float32)
-    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    variables = jax.jit(lambda k, x: model.init(k, x, train=False))(
+        jax.random.PRNGKey(0), x)
     fwd = jax.jit(lambda v, x: model.apply(v, x, train=False))
     dt = timed_steps(lambda: fwd(variables, x), steps=10, warmup=3)
     report(f"single_pass_swap_{size}px_b{batch}", batch / dt, "frames/sec",
