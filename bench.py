@@ -15,10 +15,10 @@ import json
 import time
 
 
-def bench_denoiser_throughput(batch_size: int = 64, image_size: int = 64,
-                              steps: int = 30, warmup: int = 3) -> dict:
-    # batch 64 is the measured single-chip sweet spot at 64² (19.7k imgs/s;
-    # b32 under-fills the chip, b128+ degrades in the augment gather).
+def bench_denoiser_throughput(batch_size: int = 256, image_size: int = 64,
+                              steps: int = 15, warmup: int = 3) -> dict:
+    # batch 256 is the measured single-chip sweet spot at 64² (~5.7k imgs/s
+    # with value-fetch barriers; larger batches lose to HBM pressure).
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -28,9 +28,11 @@ def bench_denoiser_throughput(batch_size: int = 64, image_size: int = 64,
     from denoising_diffusion_deep_fake_tpu.training.denoiser import (
         DenoiserTrainer)
 
+    from denoising_diffusion_deep_fake_tpu.utils.timing import timed_loop
+
     cfg = config_from_dict(DenoiserConfig, dict(
         input_image_list_path="unused", batch_size=batch_size,
-        learning_rate=2e-2, encoder_name="resnet34",
+        learning_rate=1e-3, encoder_name="resnet34",
         compute_dtype="bfloat16",
         noise_exponential_sampling_lambda=5.0), validate=False)
     trainer = DenoiserTrainer(cfg, steps_per_epoch=1000, image_size=image_size)
@@ -41,19 +43,21 @@ def bench_denoiser_throughput(batch_size: int = 64, image_size: int = 64,
     batch = jnp.asarray(rng.integers(0, 256, (batch_size, image_size,
                                               image_size, 3), dtype=np.uint8))
 
-    for i in range(warmup):
-        state, metrics = step(state, batch, jax.random.PRNGKey(i))
-    jax.block_until_ready(state)
+    # Constant base key: per-step keys derive inside the jitted step from the
+    # step counter (a host-side PRNGKey per step costs a tunnel round-trip).
+    # Timing uses value-fetch barriers — block_until_ready does not actually
+    # wait on this platform (utils/timing.py).
+    key = jax.random.PRNGKey(0)
+    last_metrics = {}
 
-    t0 = time.perf_counter()
-    for i in range(steps):
-        state, metrics = step(state, batch, jax.random.PRNGKey(100 + i))
-    jax.block_until_ready(state)
-    elapsed = time.perf_counter() - t0
+    def one(state):
+        new_state, metrics = step(state, batch, key)
+        last_metrics["m"] = metrics
+        return new_state
 
-    imgs_per_sec = batch_size * steps / elapsed
-    return {"imgs_per_sec": imgs_per_sec, "step_ms": elapsed / steps * 1e3,
-            "loss": float(metrics["loss"])}
+    dt, state = timed_loop(one, state, steps=steps, warmup=warmup)
+    return {"imgs_per_sec": batch_size / dt, "step_ms": dt * 1e3,
+            "loss": float(last_metrics["m"]["loss"])}
 
 
 def main() -> None:

@@ -75,6 +75,9 @@ class BalanceTrainer:
 
     def _train_step(self, state: ModelState, batch_u8, rng, *, with_images):
         cfg = self.cfg
+        # Per-step key derived on device from the step counter (see
+        # denoiser.py) — host passes a constant base key.
+        rng = jax.random.fold_in(rng, state.step)
         image = normalise_batch(batch_u8, cfg.mean, cfg.std)
         noisy = blend_fixed_amount_of_noise(rng, image, cfg.ratio_of_noise)
 

@@ -149,6 +149,9 @@ class DeepFakeTrainer:
 
     def _train_step(self, states, batch_a_u8, batch_b_u8, rng, *, with_images):
         cfg = self.cfg
+        # Per-step key derived on device from model_a's step counter (see
+        # denoiser.py) — host passes a constant base key.
+        rng = jax.random.fold_in(rng, states["a"].step)
         k_a, k_b = jax.random.split(jax.random.fold_in(rng, 0))
         k_aug_a, k_noise_a = jax.random.split(k_a)
         k_aug_b, k_noise_b = jax.random.split(k_b)

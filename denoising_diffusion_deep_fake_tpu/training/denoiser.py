@@ -66,6 +66,10 @@ class DenoiserTrainer:
 
     def _train_step(self, state: ModelState, batch_u8, rng, *, with_images):
         cfg = self.cfg
+        # Derive the per-step key ON DEVICE from the step counter: the host
+        # passes one constant base key, avoiding a tunnel round-trip per step
+        # (measured 10x throughput loss from per-step host PRNGKey calls).
+        rng = jax.random.fold_in(rng, state.step)
         k_aug, k_noise = jax.random.split(rng)
         image = augment_batch(k_aug, batch_u8, cfg.mean, cfg.std, self.aug)
         noisy, _ = blend_random_amount_of_noise(

@@ -113,13 +113,14 @@ def fit_deep_fake(cfg: DeepFakeConfig, *, resume_from: str | None = None,
         for (batch_a, _), (batch_b, _) in paired.epoch(epoch):
             batch_a = shard_batch(batch_a, mesh)
             batch_b = shard_batch(batch_b, mesh)
-            step_rng = jax.random.fold_in(rng, ctx.global_step)
+            # Per-step key derivation happens inside the jitted step (from
+            # state.step) — no host device-op per iteration.
             if ctx.want_images():
                 states, metrics, images = step_img(states, batch_a, batch_b,
-                                                   step_rng)
+                                                   rng)
                 ctx.log_step(metrics, images, states=states, rng=rng)
             else:
-                states, metrics = step_plain(states, batch_a, batch_b, step_rng)
+                states, metrics = step_plain(states, batch_a, batch_b, rng)
                 ctx.log_step(metrics, states=states, rng=rng)
             ctx.global_step += 1
             ctx.maybe_checkpoint(states, rng)
@@ -160,12 +161,11 @@ def fit_denoiser(cfg: DenoiserConfig, *, max_steps: int | None = None,
         ctx.epoch = epoch
         for batch, _ in loader.epoch(epoch):
             batch = shard_batch(batch, mesh)
-            step_rng = jax.random.fold_in(rng, ctx.global_step)
             if ctx.want_images():
-                state, metrics, images = step_img(state, batch, step_rng)
+                state, metrics, images = step_img(state, batch, rng)
                 ctx.log_step(metrics, images, states=state, rng=rng)
             else:
-                state, metrics = step_plain(state, batch, step_rng)
+                state, metrics = step_plain(state, batch, rng)
                 ctx.log_step(metrics, states=state, rng=rng)
             ctx.global_step += 1
             ctx.maybe_checkpoint(state, rng)
@@ -212,12 +212,11 @@ def fit_balance(cfg: BalanceConfig, *, max_steps: int | None = None,
         ctx.epoch = epoch
         for batch, _ in loader.epoch(epoch):
             batch = shard_batch(batch, mesh)
-            step_rng = jax.random.fold_in(rng, ctx.global_step)
             if ctx.want_images():
-                state, metrics, images = step_img(state, batch, step_rng)
+                state, metrics, images = step_img(state, batch, rng)
                 ctx.log_step(metrics, images, states=state, rng=rng)
             else:
-                state, metrics = step_plain(state, batch, step_rng)
+                state, metrics = step_plain(state, batch, rng)
                 ctx.log_step(metrics, states=state, rng=rng)
             ctx.global_step += 1
             ctx.maybe_checkpoint(state, rng)

@@ -7,14 +7,16 @@ Measures, on the real chip (run with the TPU free):
   4. 256² batched 50-step DDIM swap inference, bf16  (configs[3])
   5. 448² video-shape single-pass swap forward       (configs[4] core op)
 
-Prints one JSON line per row; bench.py stays the driver's single headline.
+All timings use value-fetch barriers (utils/timing.py) — block_until_ready
+does not wait on this platform. Prints one JSON line per row; bench.py stays
+the driver's single headline. Run individual rows by name:
+``python tools/bench_suite.py denoiser64 ddim256``.
 """
 
 from __future__ import annotations
 
 import json
 import sys
-import time
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
@@ -23,22 +25,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-
-def timed_steps(fn, *args, steps=20, warmup=3, donate_state=None):
-    out = None
-    state = donate_state
-    for i in range(warmup):
-        out = fn(*args) if state is None else fn(state, *args)
-        if state is not None:
-            state = out[0]
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for i in range(steps):
-        out = fn(*args) if state is None else fn(state, *args)
-        if state is not None:
-            state = out[0]
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / steps
+from denoising_diffusion_deep_fake_tpu.utils.timing import timed_fn, timed_loop
 
 
 def report(name, value, unit, **extra):
@@ -46,14 +33,14 @@ def report(name, value, unit, **extra):
                       **extra}), flush=True)
 
 
-def bench_denoiser(size, batch, encoder="resnet34", steps=20):
+def bench_denoiser(size, batch, encoder="resnet34", steps=10):
     from denoising_diffusion_deep_fake_tpu.config import (
         DenoiserConfig, config_from_dict)
     from denoising_diffusion_deep_fake_tpu.training.denoiser import (
         DenoiserTrainer)
 
     cfg = config_from_dict(DenoiserConfig, dict(
-        input_image_list_path="x", batch_size=batch, learning_rate=2e-2,
+        input_image_list_path="x", batch_size=batch, learning_rate=1e-3,
         encoder_name=encoder, compute_dtype="bfloat16",
         noise_exponential_sampling_lambda=5.0), validate=False)
     tr = DenoiserTrainer(cfg, steps_per_epoch=1000, image_size=size)
@@ -64,15 +51,12 @@ def bench_denoiser(size, batch, encoder="resnet34", steps=20):
                                   dtype=np.uint8))
     key = jax.random.PRNGKey(1)
 
-    def one(state):
-        return step(state, u8, key)
-
-    dt = timed_steps(one, steps=steps, donate_state=state)
+    dt, _ = timed_loop(lambda s: step(s, u8, key)[0], state, steps=steps)
     report(f"denoiser_train_{size}px_b{batch}", batch / dt, "imgs/sec",
            step_ms=round(dt * 1e3, 2))
 
 
-def bench_swap_train(size, batch, encoder="resnet34", steps=10):
+def bench_swap_train(size, batch, encoder="resnet34", steps=8):
     from denoising_diffusion_deep_fake_tpu.config import (
         DeepFakeConfig, config_from_dict)
     from denoising_diffusion_deep_fake_tpu.training.deep_fake import (
@@ -80,7 +64,7 @@ def bench_swap_train(size, batch, encoder="resnet34", steps=10):
 
     cfg = config_from_dict(DeepFakeConfig, dict(
         mode="swap", data_path_a="x", data_path_b="y", batch_size=batch,
-        learning_rate=1e-2, encoder_name=encoder, compute_dtype="bfloat16",
+        learning_rate=1e-3, encoder_name=encoder, compute_dtype="bfloat16",
         noise_exponential_sampling_lambda=8.0, ema_update_after_step=0),
         validate=False)
     tr = DeepFakeTrainer(cfg, steps_per_epoch=1000, image_size=size)
@@ -91,10 +75,7 @@ def bench_swap_train(size, batch, encoder="resnet34", steps=10):
     b = jnp.asarray(rng.integers(0, 256, (batch, size, size, 3), dtype=np.uint8))
     key = jax.random.PRNGKey(1)
 
-    def one(states):
-        return step(states, a, b, key)
-
-    dt = timed_steps(one, steps=steps, donate_state=states)
+    dt, _ = timed_loop(lambda s: step(s, a, b, key)[0], states, steps=steps)
     # Two models each see `batch` images per step.
     report(f"swap_train_{size}px_b{batch}_two_models", 2 * batch / dt,
            "imgs/sec", step_ms=round(dt * 1e3, 2))
@@ -116,7 +97,7 @@ def bench_ddim_swap(size, batch, sampler_steps=50, encoder="resnet34"):
         return swap_refine(predict, x, key, steps=sampler_steps, r_start=0.7)
 
     key = jax.random.PRNGKey(1)
-    dt = timed_steps(lambda: swap(x, key), steps=5, warmup=2)
+    dt = timed_fn(swap, x, key, steps=4, warmup=2)
     report(f"ddim{sampler_steps}_swap_{size}px_b{batch}_bf16", batch / dt,
            "imgs/sec", step_ms=round(dt * 1e3, 2),
            sampler_steps_per_sec=round(sampler_steps / dt, 1))
@@ -129,19 +110,26 @@ def bench_single_pass_swap(size, batch, encoder="resnet34"):
     x = jnp.zeros((batch, size, size, 3), jnp.float32)
     variables = jax.jit(lambda k, x: model.init(k, x, train=False))(
         jax.random.PRNGKey(0), x)
-    fwd = jax.jit(lambda v, x: model.apply(v, x, train=False))
-    dt = timed_steps(lambda: fwd(variables, x), steps=10, warmup=3)
+    fwd = jax.jit(lambda x: model.apply(variables, x, train=False))
+    dt = timed_fn(fwd, x, steps=8, warmup=3)
     report(f"single_pass_swap_{size}px_b{batch}", batch / dt, "frames/sec",
            step_ms=round(dt * 1e3, 2))
 
 
+BENCHES = {
+    "denoiser64": lambda: bench_denoiser(64, 256),
+    "swap128": lambda: bench_swap_train(128, 32),
+    "denoiser256": lambda: bench_denoiser(256, 32),
+    "ddim256": lambda: bench_ddim_swap(256, 8, 50),
+    "swap448": lambda: bench_single_pass_swap(448, 16),
+}
+
+
 def main():
     assert jax.default_backend() == "tpu", jax.default_backend()
-    bench_denoiser(64, 32)
-    bench_swap_train(128, 16)
-    bench_denoiser(256, 16)
-    bench_ddim_swap(256, 8, 50)
-    bench_single_pass_swap(448, 8)
+    names = sys.argv[1:] or list(BENCHES)
+    for name in names:
+        BENCHES[name]()
 
 
 if __name__ == "__main__":

@@ -25,13 +25,10 @@ from denoising_diffusion_deep_fake_tpu.ops.pallas.noise_kernel import (
 
 
 def timeit(f, *args, iters=30):
-    out = f(*args)
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = f(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / iters * 1e3
+    from denoising_diffusion_deep_fake_tpu.utils.timing import timed_fn
+
+    # value-fetch barriers: block_until_ready does not wait on this platform
+    return timed_fn(f, *args, steps=iters, warmup=2) * 1e3
 
 
 def main():
