@@ -101,6 +101,31 @@ class CheckpointManager:
         states = jax.tree.map(jnp.asarray, states)
         return states, self.read_meta(step)
 
+    def restore_partial(self, abstract_subtree: dict,
+                        step: int | None = None) -> dict:
+        """Restore only the requested subtree of the saved state_dict.
+
+        ``abstract_subtree`` mirrors the on-disk nesting but may omit keys
+        (e.g. ``{"a": {"params": ..., "batch_stats": ...}}`` to load one
+        model's weights without its optimizer moments or EMA shadow — the
+        video swap path needs ~1/6th of the checkpoint bytes, which matters
+        on transfer-limited links). Leaves are ShapeDtypeStructs or arrays.
+        """
+        step = self.latest_step() if step is None else step
+        if step is None:
+            raise FileNotFoundError(f"no checkpoints in {self.directory}")
+        path = self.directory / f"step_{step:010d}"
+        abstract = jax.tree.map(
+            lambda x: ocp.utils.to_shape_dtype_struct(x)
+            if hasattr(x, "shape") else x, abstract_subtree)
+        restore_args = ocp.checkpoint_utils.construct_restore_args(abstract)
+        raw = ocp.PyTreeCheckpointer().restore(
+            path / "state",
+            args=ocp.args.PyTreeRestore(item=abstract,
+                                        restore_args=restore_args,
+                                        partial_restore=True))
+        return jax.tree.map(jnp.asarray, raw)
+
 
 def reset_for_modify(states: Any, tx_init: Callable[[Any], Any]) -> Any:
     """``modify`` semantics: keep weights/BN/EMA, fresh optimizer + counters."""

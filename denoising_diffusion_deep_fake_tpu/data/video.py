@@ -98,10 +98,14 @@ def _frame_reader(video_path, width, height, batch_size, out_queue):
                                interpolation=cv2.INTER_CUBIC)
             frames.append(frame)
             if len(frames) == batch_size:
-                out_queue.put(np.stack(frames))
+                out_queue.put((np.stack(frames), batch_size))
                 frames = []
         if frames:
-            out_queue.put(np.stack(frames))
+            # Pad the tail to the static batch shape — a different batch
+            # size would force a fresh XLA compile (30s+) for one batch.
+            n_valid = len(frames)
+            frames.extend([frames[-1]] * (batch_size - n_valid))
+            out_queue.put((np.stack(frames), n_valid))
         out_queue.put(None)
     finally:
         capture.release()
@@ -122,7 +126,8 @@ def render_fake_video(video_path, checkpoint_path, model_a_or_b: str, *,
                       width: int = 448, height: int = 448,
                       output_path=None, batch_size: int = 8,
                       sampler_steps: int = 0, use_ema: bool | None = None,
-                      progress: bool = True) -> Path:
+                      progress: bool = True,
+                      stats_out: dict | None = None) -> Path:
     """Stream a video through the swap model; write side-by-side real|fake.
 
     Identity mapping parity (`put_video_through_fake_model.py` +
@@ -141,21 +146,42 @@ def render_fake_video(video_path, checkpoint_path, model_a_or_b: str, *,
     from denoising_diffusion_deep_fake_tpu.training.deep_fake import (
         DeepFakeTrainer)
 
+    from flax import serialization
+
     manager = CheckpointManager(checkpoint_path)
     meta = manager.read_meta()
     cfg = config_from_dict(DeepFakeConfig, meta["hparams"], validate=False)
     trainer = DeepFakeTrainer(cfg, steps_per_epoch=1,
                               image_size=cfg.image_size or height)
-    states, _ = manager.restore(
-        lambda: trainer.init_states(jax.random.PRNGKey(0)))
-
-    if model_a_or_b == "a":
-        state, mean, std = states["a"], cfg.mean_b, cfg.std_b
-    else:
-        state, mean, std = states["b"], cfg.mean_a, cfg.std_a
     if use_ema is None:
         use_ema = False  # reference swaps through the online model
-    predict = trainer.make_predict_fake(use_ema=use_ema)
+
+    # Partial restore: only the chosen model's weights + BN stats (plus EMA
+    # if requested) — skips optimizer moments and the other identity, ~6x
+    # fewer bytes onto the device.
+    model_name = "a" if model_a_or_b == "a" else "b"
+    ckpt_mode = meta["hparams"].get("mode", cfg.mode)
+    shapes = jax.eval_shape(
+        lambda: trainer.init_states(jax.random.PRNGKey(0),
+                                    with_ema=ckpt_mode == "swap"))
+    full_sd = serialization.to_state_dict(shapes)
+    wanted_keys = (["ema_params", "ema_batch_stats"] if use_ema
+                   else ["params", "batch_stats"])
+    subtree = {model_name: {k: full_sd[model_name][k] for k in wanted_keys}}
+    raw = manager.restore_partial(subtree)[model_name]
+    from denoising_diffusion_deep_fake_tpu.training.state import ModelState
+
+    state = ModelState(step=jnp.zeros((), jnp.int32),
+                       params=raw.get("params", raw.get("ema_params")),
+                       batch_stats=raw.get("batch_stats",
+                                           raw.get("ema_batch_stats")),
+                       opt_state=None)
+
+    if model_a_or_b == "a":
+        mean, std = cfg.mean_b, cfg.std_b
+    else:
+        mean, std = cfg.mean_a, cfg.std_a
+    predict = trainer.make_predict_fake(use_ema=False)
 
     if sampler_steps > 0:
         def swap_batch(x, key):
@@ -181,27 +207,75 @@ def render_fake_video(video_path, checkpoint_path, model_a_or_b: str, *,
         args=(video_path, width, height, batch_size, frame_queue), daemon=True)
     reader.start()
 
+    std_dev = jnp.asarray(std_arr)
+    mean_dev = jnp.asarray(mean_arr)
+
+    @jax.jit
+    def device_pipeline(rgb_u8, key, batch_idx):
+        """normalize -> swap -> denormalize+trunc+clamp, all on device;
+        uint8 in, uint8 out (4x fewer transfer bytes than f32). The DDIM
+        key derives on device from the batch counter — no per-batch host
+        round-trip."""
+        x = normalise_batch(rgb_u8, mean, std)
+        fake = swap_batch(x, jax.random.fold_in(key, batch_idx))
+        return jnp.clip(jnp.trunc(fake * std_dev + mean_dev), 0,
+                        255).astype(jnp.uint8)
+
     key = jax.random.PRNGKey(0)
-    n_frames = 0
-    with VideoWriter(output_path, fps, width * 2, height) as writer:
-        batch_idx = 0
+    # Pipelined render (the reference runs strictly sequentially, one frame
+    # at a time — SURVEY.md §3.4): a reader thread decodes, the main thread
+    # uploads + dispatches device batches, and a writer thread fetches
+    # results + encodes. Host<->device transfers release the GIL, so upload
+    # of batch k+1 overlaps download of batch k — on transfer-limited links
+    # (this TPU tunnel) that doubles throughput.
+    result_queue: queue.Queue = queue.Queue(maxsize=3)
+    counters = {"frames": 0}
+
+    def writer_main():
+        with VideoWriter(output_path, fps, width * 2, height) as writer:
+            while True:
+                item = result_queue.get()
+                if item is None:
+                    return
+                frames_bgr, fake_dev, n_valid = item
+                fake_u8 = np.asarray(fake_dev)[:n_valid]  # device->host
+                frames_bgr = frames_bgr[:n_valid]
+                for real_bgr, fake_rgb in zip(frames_bgr, fake_u8):
+                    fake_bgr = fake_rgb[..., ::-1]
+                    writer.write(cv2.hconcat(
+                        [real_bgr, np.ascontiguousarray(fake_bgr)]))
+                    counters["frames"] += 1
+
+    import time as _time
+
+    writer_thread = threading.Thread(target=writer_main, daemon=True)
+    writer_thread.start()
+    batch_idx = 0
+    batch_times = []
+    t_prev = _time.perf_counter()
+    try:
         while True:
-            frames_bgr = frame_queue.get()
-            if frames_bgr is None:
+            item = frame_queue.get()
+            if item is None:
                 break
-            # BGR -> RGB on host (cheap channel flip), normalize on device.
-            rgb = frames_bgr[..., ::-1]
-            x = normalise_batch(jnp.asarray(rgb), mean, std)
-            fake = swap_batch(x, jax.random.fold_in(key, batch_idx))
-            # Denormalize + truncate + clamp like the reference (on device),
-            # transfer uint8.
-            fake_u8 = np.asarray(jnp.clip(
-                jnp.trunc(fake * std_arr + mean_arr), 0, 255).astype(jnp.uint8))
-            for real_bgr, fake_rgb in zip(frames_bgr, fake_u8):
-                fake_bgr = fake_rgb[..., ::-1]
-                writer.write(cv2.hconcat([real_bgr, np.ascontiguousarray(fake_bgr)]))
-                n_frames += 1
+            frames_bgr, n_valid = item
+            rgb = np.ascontiguousarray(frames_bgr[..., ::-1])
+            fake_dev = device_pipeline(jnp.asarray(rgb), key, batch_idx)
+            result_queue.put((frames_bgr, fake_dev, n_valid))
+            now = _time.perf_counter()
+            batch_times.append(now - t_prev)
+            t_prev = now
             batch_idx += 1
             if progress and batch_idx % 10 == 0:
-                print(f"rendered {n_frames} frames", flush=True)
+                print(f"rendered {counters['frames']} frames", flush=True)
+    finally:
+        result_queue.put(None)
+        writer_thread.join()
+    if stats_out is not None:
+        steady = batch_times[2:] or batch_times
+        stats_out["batches"] = batch_idx
+        stats_out["first_batch_s"] = batch_times[0] if batch_times else 0.0
+        stats_out["steady_batch_s"] = sum(steady) / len(steady) if steady else 0.0
+        stats_out["steady_fps"] = (batch_size / stats_out["steady_batch_s"]
+                                   if stats_out["steady_batch_s"] else 0.0)
     return Path(output_path)
