@@ -76,14 +76,23 @@ class LoopContext:
         if not bad:
             return
         if states is not None and rng is not None:
-            self.maybe_checkpoint(states, rng, force=True)
+            self.maybe_checkpoint(states, rng, final=True)  # emergency save
         raise TrainingDivergedError(
             f"non-finite metric(s) {bad} at step {self.global_step}"
             + ("; emergency checkpoint saved" if states is not None else ""))
 
-    def maybe_checkpoint(self, states, rng, *, force: bool = False) -> None:
-        elapsed_h = (self.clock() - self._last_ckpt_time) / 3600.0
-        if force or elapsed_h >= self.cfg.checkpoint_every_hours:
+    # Epoch-end ('last') saves still respect a minimum spacing — with tiny
+    # datasets an epoch is a couple of steps and a full-state save costs real
+    # transfer time; the reference's Lightning 'last' checkpoint assumed long
+    # epochs. ``final=True`` (end of training) always saves.
+    min_forced_interval_s: float = 60.0
+
+    def maybe_checkpoint(self, states, rng, *, force: bool = False,
+                         final: bool = False) -> None:
+        elapsed_s = self.clock() - self._last_ckpt_time
+        due = elapsed_s / 3600.0 >= self.cfg.checkpoint_every_hours
+        forced_ok = force and elapsed_s >= self.min_forced_interval_s
+        if final or due or forced_ok:
             self._last_ckpt_time = self.clock()
             extra = save_np_rng_state(
                 {"epoch": self.epoch, "global_step": self.global_step,

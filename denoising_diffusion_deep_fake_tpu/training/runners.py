@@ -131,6 +131,7 @@ def fit_deep_fake(cfg: DeepFakeConfig, *, resume_from: str | None = None,
         if done:
             break
 
+    ctx.maybe_checkpoint(states, rng, final=True)
     ctx.close()
     return states, trainer, ctx
 
@@ -176,6 +177,7 @@ def fit_denoiser(cfg: DenoiserConfig, *, max_steps: int | None = None,
         if done:
             break
 
+    ctx.maybe_checkpoint(state, rng, final=True)
     ctx.close()
     return state, trainer, ctx
 
@@ -236,6 +238,7 @@ def fit_balance(cfg: BalanceConfig, *, max_steps: int | None = None,
         if done:
             break
 
+    ctx.maybe_checkpoint(state, rng, final=True)
     ctx.close()
     return state, trainer, ctx
 

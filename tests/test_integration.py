@@ -133,3 +133,26 @@ def test_difficulty_index_math():
     # Degenerate all-equal case doesn't divide by zero.
     idx2 = compute_difficulty_index(np.ones(3), 10)
     assert idx2.tolist() == [0, 0, 0]
+
+
+def test_deep_fake_resume_flow(tmp_path, two_identity_data):
+    """resume restores optimizer state, epoch counter, and RNG."""
+    from denoising_diffusion_deep_fake_tpu.checkpoint import CheckpointManager
+    from denoising_diffusion_deep_fake_tpu.training.runners import fit_deep_fake
+
+    m_a, m_b = two_identity_data
+    cfg = config_from_dict(DeepFakeConfig, dict(
+        mode="denoise", data_path_a=str(m_a), data_path_b=str(m_b),
+        noise_exponential_sampling_lambda=3.0,
+        **{**small_cfg_kwargs(tmp_path), "max_epochs": 2}))
+    states1, _, ctx1 = fit_deep_fake(cfg, max_steps=2, verbose=False)
+    step_before = int(states1["a"].step)
+
+    states2, _, ctx2 = fit_deep_fake(cfg, resume_from=cfg.checkpoint_dir,
+                                     max_steps=None, verbose=False)
+    # Resumed run continued from the checkpoint's counters: epoch advanced,
+    # optimizer steps accumulated on top of the restored Adam state.
+    assert ctx2.global_step > 0
+    assert int(states2["a"].step) > step_before
+    # A later checkpoint exists now.
+    assert CheckpointManager(cfg.checkpoint_dir).latest_step() >= step_before
