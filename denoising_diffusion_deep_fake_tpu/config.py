@@ -59,6 +59,10 @@ class BaseConfig:
     log_every_n_steps: int = 1
     checkpoint_every_hours: float = 2.0   # mirrors the 2h ModelCheckpoint cadence
     keep_checkpoints: int = 8             # mirrors save_top_k=8
+    # Epoch-end 'last' saves are rate-limited to this spacing: Lightning's
+    # per-epoch 'last' checkpoint assumed long epochs + local disk; with
+    # short epochs or slow links per-epoch saves can dominate wall time.
+    last_checkpoint_min_interval_s: float = 600.0
     steps_per_epoch: int | None = None    # None -> derived from dataset size
 
     def validate(self) -> None:

@@ -72,3 +72,43 @@ def shard_state(state: Any, mesh: Mesh):
     don't care.
     """
     return jax.device_put(state, replicated_sharding(mesh))
+
+
+def device_prefetch(iterator, mesh: Mesh, *, depth: int = 2,
+                    spatial: bool = False):
+    """Upload batches to the mesh ahead of consumption on a worker thread.
+
+    Wraps an iterator of pytrees-of-numpy-arrays; uint8 image arrays (ndim
+    >= 3) get the batch sharding, everything else is left on host. Transfers
+    release the GIL, so the upload of batch k+1 overlaps the device compute
+    of batch k — on high-latency links (this TPU tunnel) per-step
+    ``device_put`` round-trips otherwise dominate the train loop.
+    """
+    import queue as _queue
+    import threading
+
+    sharding = batch_sharding(mesh, spatial_dim=1 if spatial else None)
+
+    def put(item):
+        return jax.tree.map(
+            lambda x: jax.device_put(x, sharding)
+            if getattr(x, "ndim", 0) >= 3 else x, item)
+
+    q: _queue.Queue = _queue.Queue(maxsize=depth)
+
+    def worker():
+        try:
+            for item in iterator:
+                q.put(put(item))
+            q.put(None)
+        except BaseException as e:
+            q.put(e)
+
+    threading.Thread(target=worker, daemon=True).start()
+    while True:
+        item = q.get()
+        if item is None:
+            return
+        if isinstance(item, BaseException):
+            raise item
+        yield item

@@ -81,17 +81,15 @@ class LoopContext:
             f"non-finite metric(s) {bad} at step {self.global_step}"
             + ("; emergency checkpoint saved" if states is not None else ""))
 
-    # Epoch-end ('last') saves still respect a minimum spacing — with tiny
-    # datasets an epoch is a couple of steps and a full-state save costs real
-    # transfer time; the reference's Lightning 'last' checkpoint assumed long
-    # epochs. ``final=True`` (end of training) always saves.
-    min_forced_interval_s: float = 60.0
-
     def maybe_checkpoint(self, states, rng, *, force: bool = False,
                          final: bool = False) -> None:
+        """Save when the 2h cadence is due; epoch-end saves (``force``) are
+        rate-limited by ``cfg.last_checkpoint_min_interval_s``; ``final``
+        (end of training / NaN emergency) always saves."""
         elapsed_s = self.clock() - self._last_ckpt_time
         due = elapsed_s / 3600.0 >= self.cfg.checkpoint_every_hours
-        forced_ok = force and elapsed_s >= self.min_forced_interval_s
+        min_forced = getattr(self.cfg, "last_checkpoint_min_interval_s", 600.0)
+        forced_ok = force and elapsed_s >= min_forced
         if final or due or forced_ok:
             self._last_ckpt_time = self.clock()
             extra = save_np_rng_state(

@@ -34,9 +34,9 @@ from denoising_diffusion_deep_fake_tpu.data import ImageLoader
 from denoising_diffusion_deep_fake_tpu.data.loader import PairedLoader
 from denoising_diffusion_deep_fake_tpu.parallel import (
     create_mesh,
-    shard_batch,
     shard_state,
 )
+from denoising_diffusion_deep_fake_tpu.parallel.mesh import device_prefetch
 from denoising_diffusion_deep_fake_tpu.training.balance import (
     BalanceTrainer,
     compute_difficulty_index,
@@ -110,11 +110,11 @@ def fit_deep_fake(cfg: DeepFakeConfig, *, resume_from: str | None = None,
     done = False
     for epoch in range(start_epoch, cfg.max_epochs):
         ctx.epoch = epoch
-        for (batch_a, _), (batch_b, _) in paired.epoch(epoch):
-            batch_a = shard_batch(batch_a, mesh)
-            batch_b = shard_batch(batch_b, mesh)
+        for (batch_a, _), (batch_b, _) in device_prefetch(
+                paired.epoch(epoch), mesh):
             # Per-step key derivation happens inside the jitted step (from
-            # state.step) — no host device-op per iteration.
+            # state.step) — no host device-op per iteration; batch uploads
+            # happen ahead on the prefetch thread.
             if ctx.want_images():
                 states, metrics, images = step_img(states, batch_a, batch_b,
                                                    rng)
@@ -160,8 +160,7 @@ def fit_denoiser(cfg: DenoiserConfig, *, max_steps: int | None = None,
     done = False
     for epoch in range(cfg.max_epochs):
         ctx.epoch = epoch
-        for batch, _ in loader.epoch(epoch):
-            batch = shard_batch(batch, mesh)
+        for batch, _ in device_prefetch(loader.epoch(epoch), mesh):
             if ctx.want_images():
                 state, metrics, images = step_img(state, batch, rng)
                 ctx.log_step(metrics, images, states=state, rng=rng)
@@ -212,8 +211,7 @@ def fit_balance(cfg: BalanceConfig, *, max_steps: int | None = None,
     done = False
     for epoch in range(cfg.max_epochs):
         ctx.epoch = epoch
-        for batch, _ in loader.epoch(epoch):
-            batch = shard_batch(batch, mesh)
+        for batch, _ in device_prefetch(loader.epoch(epoch), mesh):
             if ctx.want_images():
                 state, metrics, images = step_img(state, batch, rng)
                 ctx.log_step(metrics, images, states=state, rng=rng)
