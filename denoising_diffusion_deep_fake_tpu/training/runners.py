@@ -16,7 +16,6 @@ XLA inserts the gradient all-reduces.
 from __future__ import annotations
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from denoising_diffusion_deep_fake_tpu.checkpoint import (
