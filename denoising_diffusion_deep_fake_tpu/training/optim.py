@@ -33,10 +33,14 @@ def cosine_annealing_lr(base_lr: float, t_max: int, epoch,
 def make_adam_with_cosine(learning_rate: float, *, b1: float = 0.9,
                           b2: float = 0.999, eps: float = 1e-8,
                           cosine_t_max: int | None = None,
-                          steps_per_epoch: int = 1) -> optax.GradientTransformation:
+                          steps_per_epoch: int = 1,
+                          flatten: bool = True) -> optax.GradientTransformation:
     """Adam with torch betas/eps and optional per-epoch cosine annealing.
 
     ``cosine_t_max=None`` gives constant-LR Adam (the balancer's optimizer).
+    ``flatten`` runs the update over one concatenated parameter vector —
+    identical math, but one big fused VPU kernel instead of one per layer
+    (measured 15.4 -> 5.8 ms for the 24.4M-param U-Net on TPU v5e).
     """
     if cosine_t_max is None:
         schedule = learning_rate
@@ -45,5 +49,6 @@ def make_adam_with_cosine(learning_rate: float, *, b1: float = 0.9,
             epoch = jnp.floor_divide(step, steps_per_epoch)
             return cosine_annealing_lr(learning_rate, cosine_t_max, epoch)
 
-    return optax.adam(learning_rate=schedule, b1=b1, b2=b2, eps=eps,
-                      eps_root=0.0)
+    tx = optax.adam(learning_rate=schedule, b1=b1, b2=b2, eps=eps,
+                    eps_root=0.0)
+    return optax.flatten(tx) if flatten else tx
