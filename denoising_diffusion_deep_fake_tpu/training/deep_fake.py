@@ -69,6 +69,7 @@ class DeepFakeTrainer:
         cfg.validate()
         self.cfg = cfg
         self.image_size = image_size
+        self.steps_per_epoch = steps_per_epoch
         dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
         self.model = create_unet(cfg.encoder_name, dtype=dtype)
         self.tx = make_adam_with_cosine(
@@ -164,6 +165,14 @@ class DeepFakeTrainer:
         metrics: dict[str, Any] = {}
         images: dict[str, Any] = {}
         state_a, state_b = states["a"], states["b"]
+
+        # LearningRateMonitor parity (lit_module.py:129).
+        from denoising_diffusion_deep_fake_tpu.training.optim import (
+            cosine_annealing_lr)
+
+        metrics["lr"] = cosine_annealing_lr(
+            cfg.learning_rate, cfg.cosine_t_max,
+            state_a.step // self.steps_per_epoch)
 
         if cfg.mode == "denoise":
             for name, state, real, k in (("a", state_a, real_a, k_noise_a),

@@ -46,6 +46,7 @@ class DenoiserTrainer:
         cfg.validate()
         self.cfg = cfg
         self.image_size = image_size
+        self.steps_per_epoch = steps_per_epoch
         dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
         self.model = create_unet(cfg.encoder_name, dtype=dtype)
         # Reference uses default Adam betas here (lit_module.py:95).
@@ -85,7 +86,13 @@ class DenoiserTrainer:
             loss_fn, has_aux=True)(state.params)
         new_state = state.apply_gradients(grads, self.tx, new_bs)
 
-        metrics = {"loss": loss}
+        # LearningRateMonitor parity (train_denoiser/train_denoiser.py:40).
+        from denoising_diffusion_deep_fake_tpu.training.optim import (
+            cosine_annealing_lr)
+
+        lr = cosine_annealing_lr(cfg.learning_rate, cfg.cosine_t_max,
+                                 state.step // self.steps_per_epoch)
+        metrics = {"loss": loss, "lr": lr}
         if with_images:
             images = {"image": image, "image_noisy": noisy,
                       "image_prediction": pred}
