@@ -63,6 +63,9 @@ class BaseConfig:
     # short epochs or slow links per-epoch saves can dominate wall time.
     last_checkpoint_min_interval_s: float = 600.0
     steps_per_epoch: int | None = None    # None -> derived from dataset size
+    # Sample uniformly over difficulty classes when the manifest carries them
+    # (the balancer's output) — the consumer half of `d3f-tpu balance`.
+    class_balanced_sampling: bool = False
 
     def validate(self) -> None:
         if self.batch_size <= 0:

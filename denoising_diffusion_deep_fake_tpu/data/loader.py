@@ -57,9 +57,20 @@ class ImageLoader:
                  seed: int = 0, drop_remainder: bool = True,
                  prefetch_batches: int = 2,
                  decode_fn: Callable[[str], np.ndarray] | None = None,
-                 use_native: bool = True, native_threads: int = 4):
+                 use_native: bool = True, native_threads: int = 4,
+                 class_balanced: bool = False):
+        from denoising_diffusion_deep_fake_tpu.data.manifest import (
+            read_image_manifest_with_classes)
+
         self.manifest_path = Path(manifest_path)
-        self.paths = [str(p) for p in read_image_manifest(manifest_path)]
+        paths, classes = read_image_manifest_with_classes(manifest_path)
+        self.paths = [str(p) for p in paths]
+        self.classes = classes
+        self.class_balanced = class_balanced
+        if class_balanced and classes is None:
+            raise ValueError(
+                "class_balanced=True needs a difficulty-classed manifest "
+                "(run `d3f-tpu balance` to produce one)")
         if not self.paths:
             raise ValueError(f"empty image manifest: {manifest_path}")
         self.batch_size = batch_size
@@ -99,9 +110,20 @@ class ImageLoader:
         return n
 
     def _epoch_order(self, epoch: int) -> np.ndarray:
+        rng = np.random.default_rng(self.seed * 100_003 + epoch)
+        if self.class_balanced and self.classes is not None:
+            # Uniform-over-classes sampling (with replacement inside small
+            # classes): the consumer side of the balancer's difficulty
+            # manifest — hard and easy images appear equally often.
+            classes = np.asarray(self.classes)
+            unique = np.unique(classes)
+            members = {c: np.flatnonzero(classes == c) for c in unique}
+            draws_c = rng.choice(unique, size=len(self.paths))
+            order = np.asarray([rng.choice(members[c]) for c in draws_c])
+            return order
         order = np.arange(len(self.paths))
         if self.shuffle:
-            np.random.default_rng(self.seed * 100_003 + epoch).shuffle(order)
+            rng.shuffle(order)
         return order
 
     def _load_batch(self, indices: np.ndarray) -> tuple[np.ndarray, np.ndarray]:

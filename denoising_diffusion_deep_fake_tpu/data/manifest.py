@@ -55,3 +55,26 @@ def split_manifest_line(line: str) -> tuple[str, int | None]:
     if len(parts) == 2:
         return parts[0], int(parts[1])
     return parts[0], None
+
+
+def read_image_manifest_with_classes(manifest_path):
+    """Read (paths, difficulty_classes) from a manifest.
+
+    ``difficulty_classes`` is None for plain manifests; for balanced
+    manifests (the balancer's ``--output_list``) it is a list of ints
+    aligned with ``paths``.
+    """
+    manifest_path = Path(manifest_path)
+    base = manifest_path.parent
+    paths, classes = [], []
+    with open(manifest_path) as f:
+        for line in f:
+            line = line.strip()
+            if not line:
+                continue
+            rel, cls = split_manifest_line(line)
+            paths.append(base / rel)
+            classes.append(cls)
+    if any(c is None for c in classes):
+        return paths, None
+    return paths, classes

@@ -69,9 +69,11 @@ def fit_deep_fake(cfg: DeepFakeConfig, *, resume_from: str | None = None,
         print_hparams(hparams)
 
     loader_a = ImageLoader(cfg.data_path_a, cfg.batch_size,
-                           image_size=cfg.image_size, seed=cfg.seed)
+                           image_size=cfg.image_size, seed=cfg.seed,
+                           class_balanced=cfg.class_balanced_sampling)
     loader_b = ImageLoader(cfg.data_path_b, cfg.batch_size,
-                           image_size=cfg.image_size, seed=cfg.seed + 1)
+                           image_size=cfg.image_size, seed=cfg.seed + 1,
+                           class_balanced=cfg.class_balanced_sampling)
     paired = PairedLoader(loader_a, loader_b)
 
     mesh = create_mesh(cfg.data_parallel)
@@ -145,7 +147,8 @@ def fit_denoiser(cfg: DenoiserConfig, *, max_steps: int | None = None,
         print_hparams(hparams)
 
     loader = ImageLoader(cfg.input_image_list_path, cfg.batch_size,
-                         image_size=cfg.image_size, seed=cfg.seed)
+                         image_size=cfg.image_size, seed=cfg.seed,
+                         class_balanced=cfg.class_balanced_sampling)
     mesh = create_mesh(cfg.data_parallel)
     trainer = DenoiserTrainer(cfg, steps_per_epoch=_steps_per_epoch(cfg, loader),
                               image_size=loader.image_size)

@@ -93,3 +93,31 @@ def test_paired_loader(tmp_path):
     assert len(batches) == 2  # min of the two epoch lengths
     (ba, ia), (bb, ib) = batches[0]
     assert ba.shape == bb.shape == (2, 8, 8, 3)
+
+
+def test_class_balanced_sampling(tmp_path):
+    # 9 images: 6 in class 0, 2 in class 1, 1 in class 2 -> balanced epochs
+    # draw each class ~uniformly.
+    manifest = make_image_dataset(tmp_path, n=9, size=8)
+    from denoising_diffusion_deep_fake_tpu.data import (
+        read_image_manifest, write_image_manifest)
+
+    paths = read_image_manifest(manifest)
+    classes = [0, 0, 0, 0, 0, 0, 1, 1, 2]
+    balanced = tmp_path / "bal" / "images.txt"
+    write_image_manifest(balanced, paths, classes)
+
+    loader = ImageLoader(balanced, batch_size=3, class_balanced=True, seed=0)
+    counts = np.zeros(3)
+    for epoch in range(40):
+        for _, idx in loader.epoch(epoch):
+            for i in idx:
+                counts[classes[i]] += 1
+    frac = counts / counts.sum()
+    np.testing.assert_allclose(frac, 1 / 3, atol=0.05)
+
+
+def test_class_balanced_requires_classed_manifest(tmp_path):
+    manifest = make_image_dataset(tmp_path, n=4, size=8)
+    with pytest.raises(ValueError, match="difficulty-classed"):
+        ImageLoader(manifest, batch_size=2, class_balanced=True)
