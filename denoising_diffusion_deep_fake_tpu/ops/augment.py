@@ -206,6 +206,95 @@ def affine_warp_shear(images: jax.Array, params: dict[str, jax.Array],
     return out.astype(images.dtype)
 
 
+def _hybrid_axis_pass(img: jax.Array, alpha: jax.Array, shift: jax.Array,
+                      *, block: int = 32, k: int = 12,
+                      pad: int | None = None) -> jax.Array:
+    """1-D resample along x: ``out[b,v,x] = img[b, v, alpha_b*x + shift(b,v)]``.
+
+    TPU-fast decomposition for LARGE images (the shear pass's window grows
+    linearly with W; this stays O(1)):
+
+    1. per-sample centered **scale** as an interpolation matmul on the MXU
+       (the banded hat matrix is built on the fly; ~7 ms at 448²/b16),
+    2. the remaining per-row displacement, **block-quantized** to its value
+       at each ``block``-row group's center, applied as one dynamic slice per
+       (sample, group) — 32x fewer dynamic ops than per-row slicing,
+    3. the in-block residual (slope*block/2 + rounding + fraction, bounded by
+       ``k``) as a tiny windowed-MAC blend.
+
+    Two chained linear interpolations (scale interp, then residual blend) —
+    marginally softer than one-shot bilinear, standard for resampling chains.
+    """
+    b_, h, w, c = img.shape
+    cx = w / 2.0
+    xs = jnp.arange(w, dtype=jnp.float32)
+
+    # 1) scale about the center: g[x] = img[alpha (x - cx) + cx]
+    src = alpha[:, None] * (xs[None, :] - cx) + cx          # (B, W_out)
+    weights = jnp.clip(1.0 - jnp.abs(src[:, None, :] - xs[None, :, None]),
+                       0.0, 1.0)                            # (B, W_in, W_out)
+    g = jnp.einsum("bhuc,buo->bhoc", img, weights,
+                   preferred_element_type=jnp.float32)
+
+    # Displacement in g's coordinates: g[x + d] = img[alpha x + shift] with
+    # d = (shift - (1 - alpha) cx) / alpha.
+    d = (shift - (1.0 - alpha[:, None]) * cx) / alpha[:, None]   # (B, H)
+
+    # 2) block-quantized integer part via per-(sample, group) dynamic slices.
+    if pad is None:
+        pad = w // 2 + k
+    nb = h // block
+    assert h % block == 0, (h, block)
+    d_blocks = d.reshape(b_, nb, block)
+    base = jnp.round(d_blocks[:, :, block // 2]).astype(jnp.int32)  # (B, nb)
+    padded = jnp.pad(g, ((0, 0), (0, 0), (pad, pad + 1), (0, 0)))
+    blocks = padded.reshape(b_, nb, block, w + 2 * pad + 1, c)
+
+    span = w + 2 * k + 1
+
+    def slice_group(group, start):
+        return jax.lax.dynamic_slice(
+            group, (0, start, 0), (block, span, c))
+
+    starts = jnp.clip(pad + base - k, 0, w + 2 * pad + 1 - span)
+    window = jax.vmap(jax.vmap(slice_group))(blocks, starts)  # (B,nb,block,span,C)
+    # Effective integer offset actually applied (clip-adjusted).
+    applied = starts - pad + k                                # (B, nb)
+
+    # 3) residual windowed MAC: r = d - applied, |r| <= k by construction.
+    r = d_blocks - applied[:, :, None]                        # (B, nb, block)
+    out = jnp.zeros((b_, nb, block, w, c), jnp.float32)
+    for j in range(2 * k + 1):
+        wgt = jnp.clip(1.0 - jnp.abs(r - (j - k)), 0.0, 1.0)
+        out = out + wgt[..., None, None] * window[:, :, :, j:j + w, :]
+    return out.reshape(b_, h, w, c)
+
+
+def affine_warp_hybrid(images: jax.Array,
+                       params: dict[str, jax.Array]) -> jax.Array:
+    """Large-resolution affine warp: LDU shears via ``_hybrid_axis_pass``.
+
+    Same factorization as ``affine_warp_shear`` (x-pass then y-pass, the
+    y-pass on the transposed image), with per-axis cost independent of the
+    parameter ranges — built for 256²+ where both the gather and the plain
+    shear window get expensive.
+    """
+    b, h, w, c = images.shape
+    i00, i01, i10, i11, itx, ity = _inverse_affine_coeffs(params, h, w)
+
+    alpha_x = i00 - i01 * i10 / i11
+    vs = jnp.arange(h, dtype=jnp.float32)
+    shift_x = ((i01 / i11)[:, None] * vs[None, :]
+               + (itx - i01 * ity / i11)[:, None])            # (B, H)
+    t = _hybrid_axis_pass(images.astype(jnp.float32), alpha_x, shift_x)
+
+    xs = jnp.arange(w, dtype=jnp.float32)
+    shift_y = i10[:, None] * xs[None, :] + ity[:, None]       # (B, W)
+    t_t = jnp.swapaxes(t, 1, 2)                               # y -> lanes
+    out_t = _hybrid_axis_pass(t_t, i11, shift_y)
+    return jnp.swapaxes(out_t, 1, 2).astype(images.dtype)
+
+
 def affine_warp(images: jax.Array, params: dict[str, jax.Array]) -> jax.Array:
     """Per-sample affine warp of an NHWC batch, bilinear, zero border."""
     b, h, w, c = images.shape
@@ -261,12 +350,21 @@ def augment_batch(key: jax.Array, batch_uint8: jax.Array, mean, std,
     """
     x = normalise_batch(batch_uint8, mean, std, dtype=jnp.float32)
     params = sample_affine_params(key, x.shape[0], cfg)
+    h, w = x.shape[1], x.shape[2]
     if method == "auto":
-        # Shear's window grows linearly with resolution; measured crossover
-        # vs the gather path is between 128² and 256² (BASELINE.md).
-        taps = _shear_tap_bounds(x.shape[1], x.shape[2], cfg)
-        method = "shear" if taps[0] <= 64 else "gather"
+        # Shear's window grows linearly with resolution (best below ~128²);
+        # the hybrid pass (scale matmul + block roll) takes over for larger
+        # block-aligned shapes; the gather remains the general fallback.
+        taps = _shear_tap_bounds(h, w, cfg)
+        if taps[0] <= 64:
+            method = "shear"
+        elif h % 32 == 0 and w % 32 == 0:
+            method = "hybrid"
+        else:
+            method = "gather"
     if method == "shear":
-        taps = _shear_tap_bounds(x.shape[1], x.shape[2], cfg)
+        taps = _shear_tap_bounds(h, w, cfg)
         return affine_warp_shear(x, params, taps).astype(dtype)
+    if method == "hybrid":
+        return affine_warp_hybrid(x, params).astype(dtype)
     return affine_warp(x, params).astype(dtype)

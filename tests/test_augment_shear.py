@@ -93,3 +93,47 @@ def test_augment_batch_shear_default_jits(rng):
     out = f(jax.random.PRNGKey(0), u8)
     assert out.shape == (4, 32, 32, 3)
     assert np.isfinite(np.asarray(out)).all()
+
+
+# ---------------------------------------------------------------- hybrid warp
+
+from denoising_diffusion_deep_fake_tpu.ops.augment import affine_warp_hybrid
+
+
+def test_hybrid_identity_exact(rng):
+    x = jnp.asarray(rng.random((2, 64, 64, 3)).astype(np.float32))
+    out = affine_warp_hybrid(x, _params(2))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(x), atol=1e-4)
+
+
+def test_hybrid_pure_shift_matches_gather(rng):
+    x = jnp.asarray(rng.random((2, 64, 64, 3)).astype(np.float32))
+    p = _params(2, tx=0.15, ty=-0.1)
+    got = np.asarray(affine_warp_hybrid(x, p))
+    want = np.asarray(affine_warp(x, p))
+    np.testing.assert_allclose(got, want, atol=1e-3)
+
+
+def test_hybrid_scale_matches_gather(rng):
+    x = jnp.asarray(rng.random((1, 64, 64, 3)).astype(np.float32))
+    p = _params(1, scale=1.2)
+    got = np.asarray(affine_warp_hybrid(x, p))
+    want = np.asarray(affine_warp(x, p))
+    np.testing.assert_allclose(got, want, atol=1e-3)
+
+
+def test_hybrid_full_range_agreement(rng):
+    cfg = AffineAugmentConfig.random_affine()
+    x_np = np.zeros((8, 64, 64, 3), np.float32)
+    # smooth content (resampling-method differences vanish on smooth fields)
+    yy, xx = np.mgrid[0:64, 0:64] / 64.0
+    x_np[:] = np.stack([np.sin(3 * xx + 2 * yy), yy * xx, xx],
+                       axis=-1)[None]
+    x = jnp.asarray(x_np)
+    params = sample_affine_params(jax.random.PRNGKey(5), 8, cfg)
+    got = np.asarray(affine_warp_hybrid(x, params))
+    want = np.asarray(affine_warp(x, params))
+    got_mass = np.abs(got).sum(axis=(1, 2, 3))
+    want_mass = np.abs(want).sum(axis=(1, 2, 3))
+    np.testing.assert_allclose(got_mass, want_mass, rtol=0.08)
+    assert np.abs(got - want).mean() < 0.02
