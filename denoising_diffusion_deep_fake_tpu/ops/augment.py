@@ -352,14 +352,13 @@ def augment_batch(key: jax.Array, batch_uint8: jax.Array, mean, std,
     params = sample_affine_params(key, x.shape[0], cfg)
     h, w = x.shape[1], x.shape[2]
     if method == "auto":
-        # Shear's window grows linearly with resolution (best below ~128²);
-        # the hybrid pass (scale matmul + block roll) takes over for larger
-        # block-aligned shapes; the gather remains the general fallback.
-        taps = _shear_tap_bounds(h, w, cfg)
-        if taps[0] <= 64:
-            method = "shear"
-        elif h % 32 == 0 and w % 32 == 0:
+        # Hybrid (scale matmul + block roll + residual MAC) is the fastest
+        # at every measured shape (BASELINE.md); shear covers small
+        # non-32-aligned shapes; gather is the general fallback.
+        if h % 32 == 0 and w % 32 == 0:
             method = "hybrid"
+        elif _shear_tap_bounds(h, w, cfg)[0] <= 64:
+            method = "shear"
         else:
             method = "gather"
     if method == "shear":
