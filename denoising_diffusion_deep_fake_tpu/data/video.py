@@ -138,63 +138,14 @@ def render_fake_video(video_path, checkpoint_path, model_a_or_b: str, *,
     import jax
     import jax.numpy as jnp
 
-    from denoising_diffusion_deep_fake_tpu.checkpoint import CheckpointManager
-    from denoising_diffusion_deep_fake_tpu.config import (
-        DeepFakeConfig, config_from_dict)
-    from denoising_diffusion_deep_fake_tpu.ops.augment import normalise_batch
-    from denoising_diffusion_deep_fake_tpu.ops.sampler import swap_refine
-    from denoising_diffusion_deep_fake_tpu.training.deep_fake import (
-        DeepFakeTrainer)
+    from denoising_diffusion_deep_fake_tpu.inference import (
+        load_swap_model, make_device_pipeline)
 
-    from flax import serialization
-
-    manager = CheckpointManager(checkpoint_path)
-    meta = manager.read_meta()
-    cfg = config_from_dict(DeepFakeConfig, meta["hparams"], validate=False)
-    trainer = DeepFakeTrainer(cfg, steps_per_epoch=1,
-                              image_size=cfg.image_size or height)
     if use_ema is None:
         use_ema = False  # reference swaps through the online model
-
-    # Partial restore: only the chosen model's weights + BN stats (plus EMA
-    # if requested) — skips optimizer moments and the other identity, ~6x
-    # fewer bytes onto the device.
-    model_name = "a" if model_a_or_b == "a" else "b"
-    ckpt_mode = meta["hparams"].get("mode", cfg.mode)
-    shapes = jax.eval_shape(
-        lambda: trainer.init_states(jax.random.PRNGKey(0),
-                                    with_ema=ckpt_mode == "swap"))
-    full_sd = serialization.to_state_dict(shapes)
-    wanted_keys = (["ema_params", "ema_batch_stats"] if use_ema
-                   else ["params", "batch_stats"])
-    subtree = {model_name: {k: full_sd[model_name][k] for k in wanted_keys}}
-    raw = manager.restore_partial(subtree)[model_name]
-    from denoising_diffusion_deep_fake_tpu.training.state import ModelState
-
-    state = ModelState(step=jnp.zeros((), jnp.int32),
-                       params=raw.get("params", raw.get("ema_params")),
-                       batch_stats=raw.get("batch_stats",
-                                           raw.get("ema_batch_stats")),
-                       opt_state=None)
-
-    if model_a_or_b == "a":
-        mean, std = cfg.mean_b, cfg.std_b
-    else:
-        mean, std = cfg.mean_a, cfg.std_a
-    predict = trainer.make_predict_fake(use_ema=False)
-
-    if sampler_steps > 0:
-        def swap_batch(x, key):
-            return swap_refine(lambda z: predict(state, z), x, key,
-                               steps=sampler_steps)
-    else:
-        def swap_batch(x, key):
-            return predict(state, x)
-
-    swap_batch = jax.jit(swap_batch)
-
-    mean_arr = np.asarray(mean, np.float32).reshape(1, 1, 1, 3) * 255.0
-    std_arr = np.asarray(std, np.float32).reshape(1, 1, 1, 3) * 255.0
+    model = load_swap_model(checkpoint_path, model_a_or_b, use_ema=use_ema,
+                            image_size=height)
+    device_pipeline = make_device_pipeline(model, sampler_steps=sampler_steps)
 
     if output_path is None:
         v = Path(video_path)
@@ -206,20 +157,6 @@ def render_fake_video(video_path, checkpoint_path, model_a_or_b: str, *,
         target=_frame_reader,
         args=(video_path, width, height, batch_size, frame_queue), daemon=True)
     reader.start()
-
-    std_dev = jnp.asarray(std_arr)
-    mean_dev = jnp.asarray(mean_arr)
-
-    @jax.jit
-    def device_pipeline(rgb_u8, key, batch_idx):
-        """normalize -> swap -> denormalize+trunc+clamp, all on device;
-        uint8 in, uint8 out (4x fewer transfer bytes than f32). The DDIM
-        key derives on device from the batch counter — no per-batch host
-        round-trip."""
-        x = normalise_batch(rgb_u8, mean, std)
-        fake = swap_batch(x, jax.random.fold_in(key, batch_idx))
-        return jnp.clip(jnp.trunc(fake * std_dev + mean_dev), 0,
-                        255).astype(jnp.uint8)
 
     key = jax.random.PRNGKey(0)
     # Pipelined render (the reference runs strictly sequentially, one frame

@@ -180,5 +180,34 @@ def swap(video_path, checkpoint_path, model_a_or_b, width, height, output,
                       batch_size=batch_size, sampler_steps=sampler_steps)
 
 
+# -------------------------------------------------------------------- serving
+
+
+@cli.command()
+@click.argument("checkpoint_path")
+@click.argument("model_a_or_b", type=click.Choice(["a", "b"]))
+@click.option("--host", default="0.0.0.0")
+@click.option("--port", type=int, default=8000)
+@click.option("--width", type=int, default=448)
+@click.option("--height", type=int, default=448)
+@click.option("--batch_size", type=int, default=8,
+              help="Static device batch; concurrent requests share it.")
+@click.option("--max_wait_ms", type=float, default=5.0,
+              help="Max time a lone request waits for batch company.")
+@click.option("--sampler_steps", type=int, default=0,
+              help="0 = single-pass parity; N>0 = scanned DDIM refinement.")
+@click.option("--use_ema", is_flag=True, default=False,
+              help="Swap through the EMA shadow instead of the online model.")
+def serve(checkpoint_path, model_a_or_b, host, port, width, height,
+          batch_size, max_wait_ms, sampler_steps, use_ema):
+    """Long-running face-swap inference server (HTTP, micro-batched)."""
+    from denoising_diffusion_deep_fake_tpu.serving.server import run_server
+
+    run_server(checkpoint_path, model_a_or_b, host=host, port=port,
+               height=height, width=width, batch_size=batch_size,
+               use_ema=use_ema, sampler_steps=sampler_steps,
+               max_wait_ms=max_wait_ms)
+
+
 if __name__ == "__main__":
     cli()

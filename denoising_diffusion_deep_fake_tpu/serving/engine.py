@@ -1,0 +1,217 @@
+"""SwapEngine: persistent, micro-batching face-swap inference engine.
+
+Design (TPU serving idioms, no reference counterpart — SURVEY.md §5 records
+the absence):
+
+* the checkpoint is partially restored once (one identity's weights only)
+  and the uint8->uint8 device pipeline is compiled once at startup
+  (``inference.make_device_pipeline``); XLA compiles exactly ONE batch shape,
+* concurrent callers are **micro-batched**: a dispatcher thread packs queued
+  requests into the static device batch (padding the remainder), so N
+  clients share one MXU pass instead of N serialized ones,
+* transfers are uint8 both ways and overlap across batches (the dispatcher
+  uploads batch k+1 while batch k computes — JAX dispatch is async),
+* per-request latency is bounded by ``max_wait_ms``: a lone request never
+  waits longer than that for company.
+
+The engine is transport-agnostic; ``serving/server.py`` puts HTTP in front.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import queue
+import threading
+import time
+
+import numpy as np
+
+
+@dataclasses.dataclass
+class EngineStats:
+    """Cumulative serving counters (read via ``SwapEngine.stats()``)."""
+
+    requests: int = 0
+    frames: int = 0
+    batches: int = 0
+    padded_slots: int = 0          # device-batch slots wasted on padding
+    total_device_ms: float = 0.0   # dispatch->fetch wall time, device batches
+    errors: int = 0
+
+    @property
+    def occupancy(self) -> float:
+        """Mean fraction of each device batch holding real frames."""
+        total = self.frames + self.padded_slots
+        return self.frames / total if total else 0.0
+
+
+class _Request:
+    """One client call: a frame stack awaiting its swapped result."""
+
+    __slots__ = ("frames", "event", "result", "error")
+
+    def __init__(self, frames: np.ndarray):
+        self.frames = frames
+        self.event = threading.Event()
+        self.result: np.ndarray | None = None
+        self.error: BaseException | None = None
+
+
+class SwapEngine:
+    """Micro-batching inference engine over one loaded swap model.
+
+    ``swap()`` accepts RGB uint8 arrays of shape (H, W, 3) or (N, H, W, 3)
+    with N <= batch_size and blocks until the swapped frames return. Any
+    number of threads may call it concurrently; their frames ride shared
+    device batches.
+    """
+
+    def __init__(self, checkpoint_path, identity: str, *, height: int,
+                 width: int, batch_size: int = 8, use_ema: bool = False,
+                 sampler_steps: int = 0, max_wait_ms: float = 5.0,
+                 seed: int = 0):
+        import jax
+
+        from denoising_diffusion_deep_fake_tpu.inference import (
+            load_swap_model, make_device_pipeline)
+
+        self.height, self.width = height, width
+        self.batch_size = batch_size
+        self.max_wait_s = max_wait_ms / 1000.0
+        self.identity = identity
+        self.model = load_swap_model(checkpoint_path, identity,
+                                     use_ema=use_ema, image_size=height)
+        self._pipeline = make_device_pipeline(self.model,
+                                              sampler_steps=sampler_steps)
+        self._key = jax.random.PRNGKey(seed)
+        self._queue: queue.Queue = queue.Queue()
+        self._stats = EngineStats()
+        self._stats_lock = threading.Lock()
+        self._closed = False
+        self._batch_idx = 0
+        self._dispatcher = threading.Thread(target=self._dispatch_loop,
+                                            daemon=True)
+        self._dispatcher.start()
+
+    # ------------------------------------------------------------------ API
+
+    def warmup(self) -> float:
+        """Trigger the XLA compile with a zero batch; returns seconds taken."""
+        t0 = time.perf_counter()
+        zero = np.zeros((1, self.height, self.width, 3), np.uint8)
+        self.swap(zero)
+        return time.perf_counter() - t0
+
+    def swap(self, rgb_u8: np.ndarray) -> np.ndarray:
+        """Swap a frame or frame stack; blocks until done. Thread-safe."""
+        if self._closed:
+            raise RuntimeError("engine closed")
+        squeeze = rgb_u8.ndim == 3
+        frames = rgb_u8[None] if squeeze else rgb_u8
+        expected = (self.height, self.width, 3)
+        if frames.ndim != 4 or frames.shape[1:] != expected:
+            raise ValueError(
+                f"expected frames of shape {expected}, got {rgb_u8.shape}")
+        if frames.dtype != np.uint8:
+            raise ValueError(f"expected uint8 frames, got {frames.dtype}")
+        if frames.shape[0] > self.batch_size:
+            # Large stacks ride multiple device batches.
+            parts = [self.swap(frames[i:i + self.batch_size])
+                     for i in range(0, frames.shape[0], self.batch_size)]
+            return np.concatenate(parts, axis=0)
+        req = _Request(np.ascontiguousarray(frames))
+        self._queue.put(req)
+        req.event.wait()
+        if req.error is not None:
+            raise req.error
+        with self._stats_lock:
+            self._stats.requests += 1
+        return req.result[0] if squeeze else req.result
+
+    def stats(self) -> dict:
+        with self._stats_lock:
+            s = self._stats
+            return {
+                "requests": s.requests,
+                "frames": s.frames,
+                "batches": s.batches,
+                "batch_occupancy": round(s.occupancy, 4),
+                "mean_device_batch_ms": round(
+                    s.total_device_ms / s.batches, 3) if s.batches else 0.0,
+                "errors": s.errors,
+                "batch_size": self.batch_size,
+                "identity": self.identity,
+                "frame_shape": [self.height, self.width, 3],
+            }
+
+    def close(self) -> None:
+        self._closed = True
+        self._queue.put(None)
+        self._dispatcher.join(timeout=5.0)
+
+    # ------------------------------------------------------------- internals
+
+    def _gather(self) -> list[_Request] | None:
+        """Collect requests for one device batch (None = shutdown)."""
+        first = self._queue.get()
+        if first is None:
+            return None
+        batch = [first]
+        filled = first.frames.shape[0]
+        deadline = time.monotonic() + self.max_wait_s
+        while filled < self.batch_size:
+            timeout = deadline - time.monotonic()
+            if timeout <= 0:
+                break
+            try:
+                nxt = self._queue.get(timeout=timeout)
+            except queue.Empty:
+                break
+            if nxt is None:
+                self._queue.put(None)  # re-signal shutdown after this batch
+                break
+            if filled + nxt.frames.shape[0] > self.batch_size:
+                self._queue.put(nxt)   # doesn't fit; next batch takes it
+                break
+            batch.append(nxt)
+            filled += nxt.frames.shape[0]
+        return batch
+
+    def _dispatch_loop(self) -> None:
+        import jax.numpy as jnp
+
+        while True:
+            batch = self._gather()
+            if batch is None:
+                return
+            try:
+                stacks = [r.frames for r in batch]
+                filled = sum(s.shape[0] for s in stacks)
+                pad = self.batch_size - filled
+                if pad:
+                    stacks.append(np.zeros(
+                        (pad, self.height, self.width, 3), np.uint8))
+                device_batch = np.concatenate(stacks, axis=0)
+                t0 = time.perf_counter()
+                fake = self._pipeline(jnp.asarray(device_batch), self._key,
+                                      self._batch_idx)
+                fake_np = np.asarray(fake)  # value fetch = device barrier
+                dt_ms = (time.perf_counter() - t0) * 1000.0
+                self._batch_idx += 1
+                offset = 0
+                for r in batch:
+                    n = r.frames.shape[0]
+                    r.result = fake_np[offset:offset + n]
+                    offset += n
+                    r.event.set()
+                with self._stats_lock:
+                    self._stats.frames += filled
+                    self._stats.batches += 1
+                    self._stats.padded_slots += pad
+                    self._stats.total_device_ms += dt_ms
+            except BaseException as e:  # deliver, don't kill the dispatcher
+                for r in batch:
+                    r.error = e
+                    r.event.set()
+                with self._stats_lock:
+                    self._stats.errors += 1

@@ -1,0 +1,195 @@
+"""HTTP front-end for the SwapEngine (stdlib-only, threaded).
+
+Endpoints:
+
+* ``GET  /healthz``      — liveness + model info (JSON)
+* ``GET  /v1/stats``     — engine counters: batches, occupancy, latency (JSON)
+* ``POST /v1/swap``      — body = encoded image (JPEG/PNG, any size; BGR file
+                           convention). Center-cropped/resized to the model
+                           frame, swapped, returned as JPEG.
+* ``POST /v1/swap_raw``  — body = raw uint8 RGB bytes; header ``X-Shape:
+                           H,W,3`` or ``N,H,W,3`` (must match the engine's
+                           frame shape). Returns raw uint8 RGB of the same
+                           shape. Zero-copy path for local pipelines.
+
+Every request thread blocks inside ``SwapEngine.swap``; the engine's
+dispatcher micro-batches concurrent requests into shared device batches, so
+throughput scales with client concurrency up to the device batch size.
+
+No reference counterpart (SURVEY.md §5 records the serving absence); the
+image-handling semantics (center-crop geometry, BGR file convention,
+identity-crossed normalization) follow the reference video tools
+(`/root/reference/d3f/script_tools/put_video_through_fake_model.py:96-145`).
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import numpy as np
+
+from denoising_diffusion_deep_fake_tpu.serving.engine import SwapEngine
+
+
+def _make_handler(engine: SwapEngine):
+    class Handler(BaseHTTPRequestHandler):
+        protocol_version = "HTTP/1.1"
+
+        # --------------------------------------------------------- plumbing
+
+        def log_message(self, fmt, *args):  # quiet by default
+            pass
+
+        def _reply(self, code: int, body: bytes, content_type: str) -> None:
+            self.send_response(code)
+            self.send_header("Content-Type", content_type)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def _reply_json(self, code: int, obj) -> None:
+            self._reply(code, json.dumps(obj).encode(), "application/json")
+
+        def _read_body(self) -> bytes:
+            length = int(self.headers.get("Content-Length", 0))
+            return self.rfile.read(length)
+
+        # ------------------------------------------------------------- GET
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._reply_json(200, {
+                    "status": "ok",
+                    "identity": engine.identity,
+                    "frame_shape": [engine.height, engine.width, 3],
+                    "batch_size": engine.batch_size,
+                })
+            elif self.path == "/v1/stats":
+                self._reply_json(200, engine.stats())
+            else:
+                self._reply_json(404, {"error": f"unknown path {self.path}"})
+
+        # ------------------------------------------------------------ POST
+
+        def do_POST(self):
+            try:
+                if self.path == "/v1/swap":
+                    self._swap_encoded()
+                elif self.path == "/v1/swap_raw":
+                    self._swap_raw()
+                else:
+                    self._reply_json(404,
+                                     {"error": f"unknown path {self.path}"})
+            except ValueError as e:
+                self._reply_json(400, {"error": str(e)})
+            except Exception as e:  # surface engine errors as 500s
+                self._reply_json(500, {"error": f"{type(e).__name__}: {e}"})
+
+        def _swap_encoded(self):
+            import cv2
+
+            from denoising_diffusion_deep_fake_tpu.inference import (
+                prepare_frame)
+
+            body = self._read_body()
+            buf = np.frombuffer(body, np.uint8)
+            frame_bgr = cv2.imdecode(buf, cv2.IMREAD_COLOR)
+            if frame_bgr is None:
+                raise ValueError("body is not a decodable image")
+            rgb = prepare_frame(frame_bgr, engine.width, engine.height)
+            fake_rgb = engine.swap(rgb)
+            ok, out = cv2.imencode(".jpg", fake_rgb[..., ::-1],
+                                   [cv2.IMWRITE_JPEG_QUALITY, 95])
+            if not ok:
+                raise RuntimeError("jpeg encode failed")
+            self._reply(200, out.tobytes(), "image/jpeg")
+
+        def _swap_raw(self):
+            shape_hdr = self.headers.get("X-Shape")
+            if not shape_hdr:
+                raise ValueError("missing X-Shape header (H,W,3 or N,H,W,3)")
+            shape = tuple(int(s) for s in shape_hdr.split(","))
+            if len(shape) not in (3, 4) or shape[-1] != 3:
+                raise ValueError(f"bad X-Shape {shape_hdr}")
+            body = self._read_body()
+            expected = int(np.prod(shape))
+            if len(body) != expected:
+                raise ValueError(
+                    f"body has {len(body)} bytes, shape needs {expected}")
+            frames = np.frombuffer(body, np.uint8).reshape(shape)
+            fake = engine.swap(frames)
+            hdr_shape = ",".join(str(s) for s in fake.shape)
+            self.send_response(200)
+            self.send_header("Content-Type", "application/octet-stream")
+            self.send_header("X-Shape", hdr_shape)
+            self.send_header("Content-Length", str(fake.nbytes))
+            self.end_headers()
+            self.wfile.write(fake.tobytes())
+
+    return Handler
+
+
+class SwapServer:
+    """Owns a SwapEngine + ThreadingHTTPServer; context-manageable."""
+
+    def __init__(self, engine: SwapEngine, *, host: str = "127.0.0.1",
+                 port: int = 8000):
+        self.engine = engine
+        self.httpd = ThreadingHTTPServer((host, port), _make_handler(engine))
+        self.httpd.daemon_threads = True
+        self._thread: threading.Thread | None = None
+
+    @property
+    def port(self) -> int:
+        return self.httpd.server_address[1]
+
+    def start(self) -> None:
+        """Serve on a background thread (tests / embedding)."""
+        self._thread = threading.Thread(target=self.httpd.serve_forever,
+                                        daemon=True)
+        self._thread.start()
+
+    def serve_forever(self) -> None:
+        self.httpd.serve_forever()
+
+    def shutdown(self) -> None:
+        self.httpd.shutdown()
+        if self._thread is not None:
+            self._thread.join(timeout=5.0)
+        self.httpd.server_close()
+        self.engine.close()
+
+    def __enter__(self):
+        self.start()
+        return self
+
+    def __exit__(self, *exc):
+        self.shutdown()
+        return False
+
+
+def run_server(checkpoint_path, identity: str, *, host: str = "0.0.0.0",
+               port: int = 8000, height: int = 448, width: int = 448,
+               batch_size: int = 8, use_ema: bool = False,
+               sampler_steps: int = 0, max_wait_ms: float = 5.0,
+               verbose: bool = True) -> None:
+    """CLI entry: load, warm up (compile), then serve until interrupted."""
+    engine = SwapEngine(checkpoint_path, identity, height=height, width=width,
+                        batch_size=batch_size, use_ema=use_ema,
+                        sampler_steps=sampler_steps, max_wait_ms=max_wait_ms)
+    if verbose:
+        print(f"compiling swap pipeline ({height}x{width}, "
+              f"batch {batch_size}) ...", flush=True)
+    secs = engine.warmup()
+    server = SwapServer(engine, host=host, port=port)
+    if verbose:
+        print(f"ready in {secs:.1f}s — serving identity "
+              f"'{identity}' on {host}:{server.port}", flush=True)
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        server.shutdown()

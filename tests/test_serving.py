@@ -1,0 +1,151 @@
+"""Serving subsystem: engine micro-batching + HTTP server round-trips."""
+
+import http.client
+import json
+import threading
+
+import numpy as np
+import pytest
+
+cv2 = pytest.importorskip("cv2")
+
+from denoising_diffusion_deep_fake_tpu.config import (
+    DeepFakeConfig,
+    config_from_dict,
+)
+from denoising_diffusion_deep_fake_tpu.serving import SwapEngine
+from denoising_diffusion_deep_fake_tpu.serving.server import SwapServer
+from denoising_diffusion_deep_fake_tpu.training.runners import fit_deep_fake
+
+from helpers import make_image_dataset
+
+SIZE = 32
+
+
+@pytest.fixture(scope="module")
+def checkpoint(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("serving")
+    m_a = make_image_dataset(tmp / "a", n=4, size=SIZE, seed=1)
+    m_b = make_image_dataset(tmp / "b", n=4, size=SIZE, seed=2)
+    cfg = config_from_dict(DeepFakeConfig, dict(
+        mode="denoise", data_path_a=str(m_a), data_path_b=str(m_b),
+        noise_exponential_sampling_lambda=3.0, batch_size=2,
+        learning_rate=1e-3, max_epochs=1, encoder_name="resnet18",
+        compute_dtype="float32", log_dir=str(tmp / "runs"),
+        checkpoint_dir=str(tmp / "ckpt")))
+    fit_deep_fake(cfg, max_steps=1, verbose=False)
+    return cfg.checkpoint_dir
+
+
+@pytest.fixture(scope="module")
+def engine(checkpoint):
+    eng = SwapEngine(checkpoint, "a", height=SIZE, width=SIZE, batch_size=4,
+                     max_wait_ms=20.0)
+    eng.warmup()
+    yield eng
+    eng.close()
+
+
+def test_engine_single_frame(engine):
+    frame = np.random.default_rng(0).integers(
+        0, 256, (SIZE, SIZE, 3), dtype=np.uint8)
+    out = engine.swap(frame)
+    assert out.shape == (SIZE, SIZE, 3) and out.dtype == np.uint8
+
+
+def test_engine_stack_and_oversize(engine):
+    rng = np.random.default_rng(1)
+    frames = rng.integers(0, 256, (6, SIZE, SIZE, 3), dtype=np.uint8)
+    out = engine.swap(frames)  # 6 > batch_size=4 -> two device batches
+    assert out.shape == frames.shape
+    # Determinism: same frame, same result regardless of batch position.
+    single = engine.swap(frames[2])
+    np.testing.assert_array_equal(single, out[2])
+
+
+def test_engine_micro_batches_concurrent_callers(engine):
+    before = engine.stats()["batches"]
+    rng = np.random.default_rng(2)
+    frames = [rng.integers(0, 256, (SIZE, SIZE, 3), dtype=np.uint8)
+              for _ in range(4)]
+    results = [None] * 4
+
+    def call(i):
+        results[i] = engine.swap(frames[i])
+
+    threads = [threading.Thread(target=call, args=(i,)) for i in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert all(r is not None and r.shape == (SIZE, SIZE, 3) for r in results)
+    stats = engine.stats()
+    # 4 concurrent single-frame requests must NOT each get their own device
+    # batch (batch_size=4, max_wait 20ms) — expect real micro-batching.
+    assert stats["batches"] - before <= 3
+    assert stats["errors"] == 0
+
+
+def test_engine_rejects_bad_input(engine):
+    with pytest.raises(ValueError):
+        engine.swap(np.zeros((SIZE, SIZE + 1, 3), np.uint8))
+    with pytest.raises(ValueError):
+        engine.swap(np.zeros((SIZE, SIZE, 3), np.float32))
+
+
+@pytest.fixture(scope="module")
+def server(engine):
+    with SwapServer(engine, port=0) as srv:
+        yield srv
+
+
+def _request(port, method, path, body=None, headers=None):
+    conn = http.client.HTTPConnection("127.0.0.1", port, timeout=30)
+    conn.request(method, path, body=body, headers=headers or {})
+    resp = conn.getresponse()
+    data = resp.read()
+    out_headers = dict(resp.getheaders())
+    conn.close()
+    return resp.status, data, out_headers
+
+
+def test_healthz_and_stats(server):
+    status, data, _ = _request(server.port, "GET", "/healthz")
+    assert status == 200
+    info = json.loads(data)
+    assert info["status"] == "ok" and info["frame_shape"] == [SIZE, SIZE, 3]
+    status, data, _ = _request(server.port, "GET", "/v1/stats")
+    assert status == 200 and json.loads(data)["batches"] >= 1
+
+
+def test_swap_raw_roundtrip(server):
+    frames = np.random.default_rng(3).integers(
+        0, 256, (2, SIZE, SIZE, 3), dtype=np.uint8)
+    status, data, headers = _request(
+        server.port, "POST", "/v1/swap_raw", body=frames.tobytes(),
+        headers={"X-Shape": f"2,{SIZE},{SIZE},3"})
+    assert status == 200, data
+    out = np.frombuffer(data, np.uint8).reshape(
+        tuple(int(s) for s in headers["X-Shape"].split(",")))
+    assert out.shape == frames.shape
+
+
+def test_swap_encoded_jpeg(server):
+    # Oversized frame: server must center-crop/resize to the model shape.
+    frame = np.random.default_rng(4).integers(
+        0, 256, (SIZE * 2, SIZE * 3, 3), dtype=np.uint8)
+    ok, buf = cv2.imencode(".png", frame)
+    assert ok
+    status, data, headers = _request(server.port, "POST", "/v1/swap",
+                                     body=buf.tobytes())
+    assert status == 200, data
+    assert headers["Content-Type"] == "image/jpeg"
+    img = cv2.imdecode(np.frombuffer(data, np.uint8), cv2.IMREAD_COLOR)
+    assert img.shape == (SIZE, SIZE, 3)
+
+
+def test_swap_raw_rejects_bad_shape(server):
+    status, data, _ = _request(
+        server.port, "POST", "/v1/swap_raw", body=b"123",
+        headers={"X-Shape": f"1,{SIZE},{SIZE},3"})
+    assert status == 400 and b"bytes" in data
