@@ -58,7 +58,8 @@ class ImageLoader:
                  prefetch_batches: int = 2,
                  decode_fn: Callable[[str], np.ndarray] | None = None,
                  use_native: bool = True, native_threads: int = 4,
-                 class_balanced: bool = False):
+                 class_balanced: bool = False,
+                 shard: tuple[int, int] | None = None):
         from denoising_diffusion_deep_fake_tpu.data.manifest import (
             read_image_manifest_with_classes)
 
@@ -66,6 +67,13 @@ class ImageLoader:
         paths, classes = read_image_manifest_with_classes(manifest_path)
         self.paths = [str(p) for p in paths]
         self.classes = classes
+        if shard is not None:
+            # Multi-process data parallelism: each process keeps a strided
+            # slice of the manifest (parallel/distributed.py's data_shard()).
+            shard_idx, shard_num = shard
+            self.paths = self.paths[shard_idx::shard_num]
+            if self.classes is not None:
+                self.classes = list(self.classes)[shard_idx::shard_num]
         self.class_balanced = class_balanced
         if class_balanced and classes is None:
             raise ValueError(

@@ -111,13 +111,30 @@ class BalanceTrainer:
         return jax.jit(val_step)
 
     def score_dataset(self, state: ModelState, loader, rng: jax.Array,
-                      *, epoch: int = 0) -> tuple[np.ndarray, np.ndarray]:
-        """Run the validation pass; returns (indices, losses) over the epoch."""
+                      *, epoch: int = 0, mesh=None
+                      ) -> tuple[np.ndarray, np.ndarray]:
+        """Run the validation pass; returns (indices, losses) over the epoch.
+
+        With ``mesh``, each scoring batch is sharded over the ``data`` axis —
+        the forward fans out across the mesh and only the (B,) loss vector
+        gathers back. Tail batches are padded to the static batch shape
+        (keeps one compiled program AND an even shard; pad losses are
+        sliced off host-side).
+        """
+        from denoising_diffusion_deep_fake_tpu.parallel import batch_sharding
+
         val_step = self.make_validation_step()
+        sharding = batch_sharding(mesh) if mesh is not None else None
+        batch_size = loader.batch_size
         all_idx, all_loss = [], []
         for step, (batch, idx) in enumerate(loader.epoch(epoch)):
-            losses = val_step(state, jnp.asarray(batch),
-                              jax.random.fold_in(rng, step))
+            n_valid = batch.shape[0]
+            if n_valid < batch_size:
+                pad = np.repeat(batch[-1:], batch_size - n_valid, axis=0)
+                batch = np.concatenate([batch, pad], axis=0)
+            dev = (jax.device_put(batch, sharding) if sharding is not None
+                   else jnp.asarray(batch))
+            losses = val_step(state, dev, jax.random.fold_in(rng, step))
             all_idx.append(idx)
-            all_loss.append(np.asarray(losses))
+            all_loss.append(np.asarray(losses)[:n_valid])
         return np.concatenate(all_idx), np.concatenate(all_loss)

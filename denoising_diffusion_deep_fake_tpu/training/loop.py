@@ -38,11 +38,17 @@ class LoopContext:
     """Holds the cross-step services every workload loop needs."""
 
     def __init__(self, cfg, hparams: dict, *, workload: str,
-                 clock: Callable[[], float] = time.time):
+                 clock: Callable[[], float] = time.time,
+                 primary: bool = True):
         self.cfg = cfg
         self.hparams = hparams
         self.workload = workload
         self.clock = clock
+        # Multi-process runs: only the primary process writes TB events and
+        # checkpoints (states are replicated, so its copy is complete); every
+        # process still fetches metrics and runs the NaN guard so they all
+        # stop together instead of hanging in a collective.
+        self.primary = primary
         self.tb = TensorBoardLogger(f"{cfg.log_dir}/{workload}")
         self.ckpt = CheckpointManager(cfg.checkpoint_dir,
                                       keep=cfg.keep_checkpoints)
@@ -66,8 +72,9 @@ class LoopContext:
                        jax.device_get(metrics).items()}
             self._guard_finite(fetched, states, rng)
             fetched["epoch"] = float(self.epoch)
-            self.tb.log_scalars(fetched, step)
-        if images:
+            if self.primary:
+                self.tb.log_scalars(fetched, step)
+        if images and self.primary:
             for tag, batch in jax.device_get(images).items():
                 self.tb.log_batch_as_image_grid(tag, batch, step)
 
@@ -86,6 +93,8 @@ class LoopContext:
         """Save when the 2h cadence is due; epoch-end saves (``force``) are
         rate-limited by ``cfg.last_checkpoint_min_interval_s``; ``final``
         (end of training / NaN emergency) always saves."""
+        if not self.primary:
+            return
         elapsed_s = self.clock() - self._last_ckpt_time
         due = elapsed_s / 3600.0 >= self.cfg.checkpoint_every_hours
         min_forced = getattr(self.cfg, "last_checkpoint_min_interval_s", 600.0)

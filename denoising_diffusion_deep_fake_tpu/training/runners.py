@@ -33,6 +33,10 @@ from denoising_diffusion_deep_fake_tpu.data import ImageLoader
 from denoising_diffusion_deep_fake_tpu.data.loader import PairedLoader
 from denoising_diffusion_deep_fake_tpu.parallel import (
     create_mesh,
+    data_shard,
+    is_primary,
+    local_batch_size,
+    maybe_initialize_from_env,
     shard_state,
 )
 from denoising_diffusion_deep_fake_tpu.parallel.mesh import device_prefetch
@@ -64,23 +68,27 @@ def fit_deep_fake(cfg: DeepFakeConfig, *, resume_from: str | None = None,
                   modify_from: str | None = None, max_steps: int | None = None,
                   verbose: bool = True):
     """Train the two-identity workload; returns (states, trainer, context)."""
+    maybe_initialize_from_env()
     hparams = config_to_dict(cfg)
-    if verbose:
+    if verbose and is_primary():
         print_hparams(hparams)
 
-    loader_a = ImageLoader(cfg.data_path_a, cfg.batch_size,
+    local_bs = local_batch_size(cfg.batch_size)
+    loader_a = ImageLoader(cfg.data_path_a, local_bs,
                            image_size=cfg.image_size, seed=cfg.seed,
-                           class_balanced=cfg.class_balanced_sampling)
-    loader_b = ImageLoader(cfg.data_path_b, cfg.batch_size,
+                           class_balanced=cfg.class_balanced_sampling,
+                           shard=data_shard())
+    loader_b = ImageLoader(cfg.data_path_b, local_bs,
                            image_size=cfg.image_size, seed=cfg.seed + 1,
-                           class_balanced=cfg.class_balanced_sampling)
+                           class_balanced=cfg.class_balanced_sampling,
+                           shard=data_shard())
     paired = PairedLoader(loader_a, loader_b)
 
     mesh = create_mesh(cfg.data_parallel)
     trainer = DeepFakeTrainer(cfg, steps_per_epoch=_steps_per_epoch(cfg, paired),
                               image_size=paired.image_size)
 
-    ctx = LoopContext(cfg, hparams, workload="deep_fake")
+    ctx = LoopContext(cfg, hparams, workload="deep_fake", primary=is_primary())
     rng = jax.random.PRNGKey(cfg.seed)
     start_epoch = 0
 
@@ -142,18 +150,21 @@ def fit_deep_fake(cfg: DeepFakeConfig, *, resume_from: str | None = None,
 
 def fit_denoiser(cfg: DenoiserConfig, *, max_steps: int | None = None,
                  verbose: bool = True):
+    maybe_initialize_from_env()
     hparams = config_to_dict(cfg)
-    if verbose:
+    if verbose and is_primary():
         print_hparams(hparams)
 
-    loader = ImageLoader(cfg.input_image_list_path, cfg.batch_size,
+    loader = ImageLoader(cfg.input_image_list_path,
+                         local_batch_size(cfg.batch_size),
                          image_size=cfg.image_size, seed=cfg.seed,
-                         class_balanced=cfg.class_balanced_sampling)
+                         class_balanced=cfg.class_balanced_sampling,
+                         shard=data_shard())
     mesh = create_mesh(cfg.data_parallel)
     trainer = DenoiserTrainer(cfg, steps_per_epoch=_steps_per_epoch(cfg, loader),
                               image_size=loader.image_size)
 
-    ctx = LoopContext(cfg, hparams, workload="denoiser")
+    ctx = LoopContext(cfg, hparams, workload="denoiser", primary=is_primary())
     rng = jax.random.PRNGKey(cfg.seed)
     state = shard_state(trainer.init_state(rng), mesh)
     step_plain = trainer.make_train_step(with_images=False)
@@ -189,14 +200,18 @@ def fit_denoiser(cfg: DenoiserConfig, *, max_steps: int | None = None,
 def fit_balance(cfg: BalanceConfig, *, max_steps: int | None = None,
                 verbose: bool = True):
     """Train at fixed noise, score difficulties, log histogram, write manifest."""
+    maybe_initialize_from_env()
     hparams = config_to_dict(cfg)
-    if verbose:
+    if verbose and is_primary():
         print_hparams(hparams)
 
-    loader = ImageLoader(cfg.data_path, cfg.batch_size,
-                         image_size=cfg.image_size, seed=cfg.seed)
+    loader = ImageLoader(cfg.data_path, local_batch_size(cfg.batch_size),
+                         image_size=cfg.image_size, seed=cfg.seed,
+                         shard=data_shard())
     # Validation pass: same dataset, stable order, no remainder dropped so
-    # every image gets a difficulty class.
+    # every image gets a difficulty class. Deliberately NOT process-sharded:
+    # difficulty classes come from a min-max over the FULL dataset, so every
+    # process scores everything (cheap next to training) and stays consistent.
     val_loader = ImageLoader(cfg.data_path, cfg.batch_size,
                              image_size=cfg.image_size, shuffle=False,
                              drop_remainder=False)
@@ -204,7 +219,7 @@ def fit_balance(cfg: BalanceConfig, *, max_steps: int | None = None,
     trainer = BalanceTrainer(cfg, steps_per_epoch=_steps_per_epoch(cfg, loader),
                              image_size=loader.image_size)
 
-    ctx = LoopContext(cfg, hparams, workload="balance")
+    ctx = LoopContext(cfg, hparams, workload="balance", primary=is_primary())
     rng = jax.random.PRNGKey(cfg.seed)
     state = shard_state(trainer.init_state(rng), mesh)
     step_plain = trainer.make_train_step(with_images=False)
@@ -228,12 +243,16 @@ def fit_balance(cfg: BalanceConfig, *, max_steps: int | None = None,
 
         # Validation: per-image difficulty scores -> classes -> histogram.
         # Validation keys live in a disjoint fold-in range from train steps.
+        # Sharded scoring over the mesh when single-process; multi-process
+        # scores locally (every process holds the full dataset — see above).
         indices, losses = trainer.score_dataset(
-            state, val_loader, jax.random.fold_in(rng, 2_000_000_000 + epoch))
+            state, val_loader, jax.random.fold_in(rng, 2_000_000_000 + epoch),
+            mesh=mesh if jax.process_count() == 1 else None)
         classes = compute_difficulty_index(losses, cfg.number_of_classes)
-        _log_difficulty_histogram(ctx, classes)
-        if cfg.output_image_list_path:
-            write_balanced_manifest(cfg, val_loader, indices, classes)
+        if is_primary():
+            _log_difficulty_histogram(ctx, classes)
+            if cfg.output_image_list_path:
+                write_balanced_manifest(cfg, val_loader, indices, classes)
         ctx.maybe_checkpoint(state, rng, force=True)
         if done:
             break
