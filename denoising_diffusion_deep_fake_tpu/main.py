@@ -180,6 +180,23 @@ def swap(video_path, checkpoint_path, model_a_or_b, width, height, output,
                       batch_size=batch_size, sampler_steps=sampler_steps)
 
 
+# ------------------------------------------------------------------ migration
+
+
+@cli.command("import")
+@click.argument("ckpt_path")
+@click.argument("output_dir")
+def import_ckpt(ckpt_path, output_dir):
+    """Convert a reference Lightning .ckpt into a native checkpoint dir.
+
+    The result feeds `train resume/modify`, `video swap`, and `serve`."""
+    from denoising_diffusion_deep_fake_tpu.utils.torch_import import (
+        import_reference_checkpoint)
+
+    path = import_reference_checkpoint(ckpt_path, output_dir)
+    click.echo(f"imported -> {path}")
+
+
 # -------------------------------------------------------------------- serving
 
 

@@ -167,4 +167,63 @@ def load_reference_checkpoint(ckpt_path) -> dict:
     for model_name, model_sd in split_lightning_state_dict(sd).items():
         out[model_name] = convert_smp_unet_state_dict(model_sd)
     out["hyper_parameters"] = dict(ckpt.get("hyper_parameters", {}))
+    out["lightning_meta"] = {"epoch": int(ckpt.get("epoch", 0)),
+                             "global_step": int(ckpt.get("global_step", 0))}
     return out
+
+
+def import_reference_checkpoint(ckpt_path, output_dir, *,
+                                keep: int = 8) -> "Path":
+    """Convert a reference Lightning ``.ckpt`` into this framework's
+    (Orbax) checkpoint layout — the migration path for existing users.
+
+    Weights, EMA shadows, BN stats, hyperparameters, and the epoch /
+    global-step counters all carry over; optimizer moments start fresh
+    (Adam state is not portable across frameworks — equivalent to the
+    reference's own ``modify`` flow, SURVEY.md §3.5). The result feeds every
+    consumer of native checkpoints: ``train resume/modify``, ``video swap``,
+    ``serve``.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from denoising_diffusion_deep_fake_tpu.checkpoint import CheckpointManager
+    from denoising_diffusion_deep_fake_tpu.config import (
+        DeepFakeConfig, config_from_dict, config_to_dict)
+    from denoising_diffusion_deep_fake_tpu.training.optim import (
+        make_adam_with_cosine)
+    from denoising_diffusion_deep_fake_tpu.training.state import ModelState
+
+    imported = load_reference_checkpoint(ckpt_path)
+    hp = imported.pop("hyper_parameters")
+    lightning_meta = imported.pop("lightning_meta")
+    has_ema = any(k.startswith("ema_model") for k in imported)
+    cfg = config_from_dict(DeepFakeConfig, hp, validate=False)
+    if has_ema:
+        cfg.mode = "swap"  # EMA shadows only exist in swap mode
+    tx = make_adam_with_cosine(cfg.learning_rate, b1=cfg.adam_b1,
+                               b2=cfg.adam_b2, cosine_t_max=cfg.cosine_t_max,
+                               steps_per_epoch=1)
+
+    def build_state(name: str) -> ModelState:
+        params, stats = imported[f"model_{name}"]
+        params = jax.tree.map(jnp.asarray, params)
+        stats = jax.tree.map(jnp.asarray, stats)
+        state = ModelState(step=jnp.zeros((), jnp.int32), params=params,
+                           batch_stats=stats, opt_state=tx.init(params))
+        if has_ema:
+            ema_params, ema_stats = imported[f"ema_model_{name}"]
+            state = state.replace(
+                ema_params=jax.tree.map(jnp.asarray, ema_params),
+                ema_batch_stats=jax.tree.map(jnp.asarray, ema_stats),
+                ema_step=jnp.zeros((), jnp.int32))
+        return state
+
+    states = {"a": build_state("a"), "b": build_state("b")}
+    manager = CheckpointManager(output_dir, keep=keep)
+    extra = {"epoch": lightning_meta["epoch"],
+             "global_step": lightning_meta["global_step"],
+             "workload": "deep_fake",
+             "imported_from": str(ckpt_path)}
+    return manager.save(lightning_meta["global_step"], states,
+                        config_to_dict(cfg), extra)
