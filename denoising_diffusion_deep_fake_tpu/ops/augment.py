@@ -352,10 +352,14 @@ def augment_batch(key: jax.Array, batch_uint8: jax.Array, mean, std,
     params = sample_affine_params(key, x.shape[0], cfg)
     h, w = x.shape[1], x.shape[2]
     if method == "auto":
-        # Hybrid (scale matmul + block roll + residual MAC) is the fastest
-        # at every measured shape (BASELINE.md); shear covers small
-        # non-32-aligned shapes; gather is the general fallback.
-        if h % 32 == 0 and w % 32 == 0:
+        # Pallas kernel (VMEM-resident window, no per-tap HBM re-reads) wins
+        # at large resolutions on TPU; hybrid (scale matmul + block roll +
+        # residual MAC) covers the rest of the 32-aligned shapes; shear
+        # covers small non-32-aligned shapes; gather is the fallback.
+        if (h % 32 == 0 and w % 32 == 0 and min(h, w) >= 256
+                and jax.default_backend() == "tpu"):
+            method = "pallas"
+        elif h % 32 == 0 and w % 32 == 0:
             method = "hybrid"
         elif _shear_tap_bounds(h, w, cfg)[0] <= 64:
             method = "shear"
@@ -366,4 +370,11 @@ def augment_batch(key: jax.Array, batch_uint8: jax.Array, mean, std,
         return affine_warp_shear(x, params, taps).astype(dtype)
     if method == "hybrid":
         return affine_warp_hybrid(x, params).astype(dtype)
+    if method == "pallas":
+        from denoising_diffusion_deep_fake_tpu.ops.pallas.warp_kernel import (
+            affine_warp_pallas)
+
+        return affine_warp_pallas(
+            x, params,
+            interpret=jax.default_backend() != "tpu").astype(dtype)
     return affine_warp(x, params).astype(dtype)

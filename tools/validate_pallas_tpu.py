@@ -80,5 +80,45 @@ def main():
     print(f"speedup: {t_xla / t_fused:.2f}x")
 
 
+def validate_warp_kernel():
+    """Warp kernel vs XLA hybrid on hardware: agreement + marginal timing.
+
+    Chained (xN inside one jit) timing subtracts the per-dispatch overhead
+    of this platform's TPU tunnel (~3 ms — BASELINE.md methodology note).
+    """
+    from denoising_diffusion_deep_fake_tpu.ops.augment import (
+        AffineAugmentConfig, affine_warp_hybrid, sample_affine_params)
+    from denoising_diffusion_deep_fake_tpu.ops.pallas.warp_kernel import (
+        affine_warp_pallas)
+    from denoising_diffusion_deep_fake_tpu.utils.timing import timed_fn
+
+    rng = np.random.default_rng(0)
+    cfg = AffineAugmentConfig.random_affine()
+    for b, size in ((16, 448), (32, 256)):
+        img = jnp.asarray(rng.standard_normal((b, size, size, 3))
+                          .astype(np.float32))
+        params = sample_affine_params(jax.random.PRNGKey(3), b, cfg)
+        hyb = np.asarray(jax.jit(affine_warp_hybrid)(img, params))
+        pal = np.asarray(jax.jit(affine_warp_pallas)(img, params))
+        mean_diff = np.abs(hyb - pal).mean()
+        assert mean_diff < 0.05, mean_diff
+
+        def chain(f, n):
+            def run(x):
+                for _ in range(n):
+                    x = f(x, params)
+                return x
+            return jax.jit(run)
+
+        t_h = (timeit(chain(affine_warp_hybrid, 8), img, iters=8)
+               - timeit(chain(affine_warp_hybrid, 1), img, iters=8)) / 7
+        t_p = (timeit(chain(affine_warp_pallas, 8), img, iters=8)
+               - timeit(chain(affine_warp_pallas, 1), img, iters=8)) / 7
+        print(f"warp {size}x{size}/b{b}: mean diff {mean_diff:.4f}; marginal "
+              f"hybrid {t_h:.2f} ms vs pallas {t_p:.2f} ms "
+              f"({t_h / max(t_p, 1e-9):.1f}x)")
+
+
 if __name__ == "__main__":
     main()
+    validate_warp_kernel()
