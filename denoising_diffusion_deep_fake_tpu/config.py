@@ -66,6 +66,9 @@ class BaseConfig:
     # Sample uniformly over difficulty classes when the manifest carries them
     # (the balancer's output) — the consumer half of `d3f-tpu balance`.
     class_balanced_sampling: bool = False
+    # SIGTERM -> final checkpoint -> clean exit (TPU maintenance events /
+    # scheduler preemption). Resume with `train resume` afterwards.
+    handle_preemption: bool = True
 
     def validate(self) -> None:
         if self.batch_size <= 0:

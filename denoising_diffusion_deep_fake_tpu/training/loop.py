@@ -24,6 +24,44 @@ import jax
 class TrainingDivergedError(RuntimeError):
     """A train metric went NaN/Inf; an emergency checkpoint was saved."""
 
+
+class PreemptionGuard:
+    """SIGTERM -> checkpoint-and-exit flag (graceful preemption handling).
+
+    Cloud TPU maintenance events and most cluster schedulers deliver SIGTERM
+    with a grace window; the reference has no handling at all (SURVEY.md §5
+    "Failure detection / elastic recovery: absent" — recovery there is a
+    manual ``resume``). Installing is best-effort: signal handlers only work
+    on the main thread (embedded runs keep the default behavior).
+    """
+
+    def __init__(self, signals=None):
+        import signal as _signal
+
+        self._signal = _signal
+        self._flag = False
+        self._previous = {}
+        for sig in (signals or (_signal.SIGTERM,)):
+            try:
+                self._previous[sig] = _signal.signal(sig, self._on_signal)
+            except ValueError:  # not on the main thread
+                pass
+
+    def _on_signal(self, signum, frame):
+        self._flag = True
+
+    @property
+    def triggered(self) -> bool:
+        return self._flag
+
+    def restore(self) -> None:
+        for sig, previous in self._previous.items():
+            try:
+                self._signal.signal(sig, previous)
+            except ValueError:
+                pass
+        self._previous = {}
+
 from denoising_diffusion_deep_fake_tpu.checkpoint import (
     CheckpointManager,
     save_np_rng_state,
@@ -56,6 +94,13 @@ class LoopContext:
         self._last_ckpt_time = clock()
         self.global_step = 0
         self.epoch = 0
+        self.preemption = (PreemptionGuard()
+                           if getattr(cfg, "handle_preemption", True)
+                           else None)
+
+    def preempted(self) -> bool:
+        """True once SIGTERM arrived — runners save and exit gracefully."""
+        return self.preemption is not None and self.preemption.triggered
 
     # ------------------------------------------------------------- cadence
 
@@ -107,5 +152,7 @@ class LoopContext:
             self.ckpt.save(self.global_step, states, self.hparams, extra)
 
     def close(self) -> None:
+        if self.preemption is not None:
+            self.preemption.restore()
         self.tb.flush()
         self.tb.close()

@@ -133,6 +133,11 @@ def fit_deep_fake(cfg: DeepFakeConfig, *, resume_from: str | None = None,
                 ctx.log_step(metrics, states=states, rng=rng)
             ctx.global_step += 1
             ctx.maybe_checkpoint(states, rng)
+            if ctx.preempted():
+                if verbose and is_primary():
+                    print("preemption signal received — saving and exiting")
+                done = True
+                break
             if max_steps is not None and ctx.global_step >= max_steps:
                 done = True
                 break
@@ -182,6 +187,11 @@ def fit_denoiser(cfg: DenoiserConfig, *, max_steps: int | None = None,
                 ctx.log_step(metrics, states=state, rng=rng)
             ctx.global_step += 1
             ctx.maybe_checkpoint(state, rng)
+            if ctx.preempted():
+                if verbose and is_primary():
+                    print("preemption signal received — saving and exiting")
+                done = True
+                break
             if max_steps is not None and ctx.global_step >= max_steps:
                 done = True
                 break
@@ -237,6 +247,11 @@ def fit_balance(cfg: BalanceConfig, *, max_steps: int | None = None,
                 ctx.log_step(metrics, states=state, rng=rng)
             ctx.global_step += 1
             ctx.maybe_checkpoint(state, rng)
+            if ctx.preempted():
+                if verbose and is_primary():
+                    print("preemption signal received — saving and exiting")
+                done = True
+                break
             if max_steps is not None and ctx.global_step >= max_steps:
                 done = True
                 break
