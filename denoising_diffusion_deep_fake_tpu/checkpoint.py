@@ -46,16 +46,42 @@ class CheckpointManager:
     # ------------------------------------------------------------------ save
 
     def save(self, step: int, states: Any, hparams: dict,
-             extra: dict | None = None) -> Path:
-        """Persist states (any pytree of ModelStates) + hparams at ``step``."""
+             extra: dict | None = None, *, block: bool = True) -> Path:
+        """Persist states (any pytree of ModelStates) + hparams at ``step``.
+
+        ``block=False`` returns once Orbax has snapshotted the arrays and
+        finishes writing on its background thread — the train loop keeps
+        stepping while bytes drain to disk (matters when checkpoints cross a
+        slow link). ``meta.json`` is written only on completion, so readers
+        (``all_steps``/``restore``) never observe a half-written checkpoint;
+        call ``wait_until_finished()`` (or the next blocking save) to join.
+        """
+        self.wait_until_finished()  # at most one save in flight
         path = self.directory / f"step_{step:010d}"
         state_dict = serialization.to_state_dict(states)
         self._ckpt.save(path / "state", state_dict, force=True)
-        self._ckpt.wait_until_finished()
         meta = {"step": step, "hparams": hparams, "extra": extra or {}}
-        (path / "meta.json").write_text(json.dumps(meta, indent=2))
-        self._apply_retention()
+
+        def finish():
+            self._ckpt.wait_until_finished()
+            (path / "meta.json").write_text(json.dumps(meta, indent=2))
+            self._apply_retention()
+
+        if block:
+            finish()
+        else:
+            import threading
+
+            self._pending = threading.Thread(target=finish, daemon=True)
+            self._pending.start()
         return path
+
+    def wait_until_finished(self) -> None:
+        """Join any in-flight async save (no-op otherwise)."""
+        pending = getattr(self, "_pending", None)
+        if pending is not None:
+            pending.join()
+            self._pending = None
 
     def _apply_retention(self) -> None:
         steps = self.all_steps()
@@ -66,6 +92,9 @@ class CheckpointManager:
     # --------------------------------------------------------------- restore
 
     def all_steps(self) -> list[int]:
+        # NOTE: no join here — the async finish thread calls this through
+        # _apply_retention and must not wait on itself. External callers go
+        # through latest_step/read_meta/restore, which do join.
         steps = []
         for p in self.directory.glob("step_*"):
             if (p / "meta.json").exists():
@@ -73,10 +102,12 @@ class CheckpointManager:
         return sorted(steps)
 
     def latest_step(self) -> int | None:
+        self.wait_until_finished()
         steps = self.all_steps()
         return steps[-1] if steps else None
 
     def read_meta(self, step: int | None = None) -> dict:
+        self.wait_until_finished()
         step = self.latest_step() if step is None else step
         if step is None:
             raise FileNotFoundError(f"no checkpoints in {self.directory}")
@@ -87,6 +118,7 @@ class CheckpointManager:
                 step: int | None = None) -> tuple[Any, dict]:
         """Full restore: ``target_fn`` builds the states pytree structure
         (called under ``jax.eval_shape`` — tracing only)."""
+        self.wait_until_finished()
         step = self.latest_step() if step is None else step
         if step is None:
             raise FileNotFoundError(f"no checkpoints in {self.directory}")
@@ -111,6 +143,7 @@ class CheckpointManager:
         video swap path needs ~1/6th of the checkpoint bytes, which matters
         on transfer-limited links). Leaves are ShapeDtypeStructs or arrays.
         """
+        self.wait_until_finished()
         step = self.latest_step() if step is None else step
         if step is None:
             raise FileNotFoundError(f"no checkpoints in {self.directory}")

@@ -149,10 +149,15 @@ class LoopContext:
             extra = save_np_rng_state(
                 {"epoch": self.epoch, "global_step": self.global_step,
                  "workload": self.workload}, rng)
-            self.ckpt.save(self.global_step, states, self.hparams, extra)
+            # Cadence saves drain to disk asynchronously (Orbax snapshots
+            # the arrays to host first, so the donated train state can keep
+            # stepping); the final save blocks so callers see it complete.
+            self.ckpt.save(self.global_step, states, self.hparams, extra,
+                           block=final)
 
     def close(self) -> None:
         if self.preemption is not None:
             self.preemption.restore()
+        self.ckpt.wait_until_finished()
         self.tb.flush()
         self.tb.close()

@@ -107,3 +107,30 @@ def test_missing_checkpoint_raises(tmp_path):
     except FileNotFoundError:
         raised = True
     assert raised
+
+
+def test_async_save_is_consistent(tmp_path):
+    """block=False: readers join the in-flight save and see a full ckpt."""
+    import jax
+    import jax.numpy as jnp
+
+    from denoising_diffusion_deep_fake_tpu.checkpoint import CheckpointManager
+
+    states = {"w": jnp.arange(64, dtype=jnp.float32),
+              "step": jnp.zeros((), jnp.int32)}
+    manager = CheckpointManager(tmp_path / "ckpt", keep=2)
+    manager.save(1, states, {"lr": 0.1}, block=False)
+    # read_meta must join the background finish, not race it.
+    meta = manager.read_meta()
+    assert meta["step"] == 1 and meta["hparams"]["lr"] == 0.1
+    # A second async save immediately after must serialize, not overlap.
+    manager.save(2, {"w": states["w"] * 2, "step": states["step"] + 1},
+                 {"lr": 0.2}, block=False)
+    manager.wait_until_finished()
+    assert manager.all_steps() == [1, 2]
+    restored, meta2 = manager.restore(
+        lambda: {"w": jnp.zeros(64, jnp.float32),
+                 "step": jnp.zeros((), jnp.int32)})
+    assert meta2["step"] == 2
+    assert float(jax.numpy.sum(restored["w"])) == float(
+        jnp.sum(states["w"] * 2))
