@@ -180,6 +180,32 @@ def swap(video_path, checkpoint_path, model_a_or_b, width, height, output,
                       batch_size=batch_size, sampler_steps=sampler_steps)
 
 
+# ------------------------------------------------------------------ profiling
+
+
+@cli.command()
+@click.option("--config", "config_path", required=True,
+              help="Denoiser config yaml (the profiling workload).")
+@click.option("--input_list", "input_list", required=True,
+              help="images.txt manifest of training images.")
+@click.option("--steps", type=int, default=20,
+              help="Train steps to capture (first ones include compile).")
+@click.option("--trace_dir", default="profile_trace",
+              help="Output dir; open with TensorBoard's profile plugin.")
+def profile(config_path, input_list, steps, trace_dir):
+    """Capture a jax.profiler device trace of N train steps."""
+    from denoising_diffusion_deep_fake_tpu.config import (
+        DenoiserConfig, load_config)
+    from denoising_diffusion_deep_fake_tpu.training.runners import fit_denoiser
+    from denoising_diffusion_deep_fake_tpu.utils.profiling import trace
+
+    cfg = load_config(DenoiserConfig, config_path,
+                      overrides={"input_image_list_path": input_list})
+    with trace(trace_dir):
+        fit_denoiser(cfg, max_steps=steps)
+    click.echo(f"trace written to {trace_dir}")
+
+
 # ------------------------------------------------------------------ migration
 
 

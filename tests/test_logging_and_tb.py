@@ -88,3 +88,35 @@ def test_figure_to_rgb_array():
     arr = figure_to_rgb_array(fig)
     plt.close(fig)
     assert arr.ndim == 3 and arr.shape[2] == 3 and arr.dtype == np.uint8
+
+
+def test_profile_cli_writes_trace(tmp_path):
+    """`d3f-tpu profile` captures a jax.profiler trace end to end."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).parent))
+    from click.testing import CliRunner
+
+    from denoising_diffusion_deep_fake_tpu.main import cli
+    from helpers import make_image_dataset
+
+    manifest = make_image_dataset(tmp_path, n=4, size=32, seed=0)
+    cfg = tmp_path / "cfg.yml"
+    cfg.write_text(f"""
+batch_size: 2
+learning_rate: 0.001
+max_epochs: 1
+encoder_name: resnet18
+compute_dtype: float32
+noise_exponential_sampling_lambda: 3.0
+log_dir: {tmp_path}/runs
+checkpoint_dir: {tmp_path}/ckpt
+""")
+    trace_dir = tmp_path / "trace"
+    result = CliRunner().invoke(cli, [
+        "profile", "--config", str(cfg), "--input_list", str(manifest),
+        "--steps", "2", "--trace_dir", str(trace_dir)])
+    assert result.exit_code == 0, result.output
+    traces = list(trace_dir.rglob("*.xplane.pb"))
+    assert traces, f"no trace files under {trace_dir}"
