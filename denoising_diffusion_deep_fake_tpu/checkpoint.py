@@ -34,6 +34,23 @@ import orbax.checkpoint as ocp
 from flax import serialization
 
 
+def _local_replica(x):
+    """Global replicated array -> this process's host copy (numpy).
+
+    Multi-process saves are single-writer (process 0); a global jax.Array
+    spanning other hosts' devices is not serializable by one process, but a
+    REPLICATED one is fully present locally — snapshot that. Sharded state
+    would silently truncate, so it is rejected.
+    """
+    if not hasattr(x, "sharding"):
+        return x
+    if not x.sharding.is_fully_replicated:
+        raise ValueError(
+            "multi-process checkpointing requires replicated train state; "
+            f"got sharding {x.sharding} — gather it before saving")
+    return np.asarray(x.addressable_shards[0].data)
+
+
 class CheckpointManager:
     """Step-indexed checkpoints with retention, metadata, and a latest pointer."""
 
@@ -41,7 +58,21 @@ class CheckpointManager:
         self.directory = Path(directory).resolve()
         self.keep = keep
         self.directory.mkdir(parents=True, exist_ok=True)
-        self._ckpt = ocp.StandardCheckpointer()
+        if jax.process_count() > 1:
+            # Barrier-free island mode: each process's checkpointer sees only
+            # itself, so no Orbax operation synchronizes across hosts. Saves
+            # only ever run on the primary (LoopContext gates them) over the
+            # locally-replicated state snapshot; restores are plain reads any
+            # process can do independently. Default options would instead
+            # make save/restore collective and deadlock the primary-only
+            # save in sync_global_processes.
+            me = jax.process_index()
+            mp_options = ocp.options.MultiprocessingOptions(
+                primary_host=me, active_processes={me})
+            self._ckpt = ocp.StandardCheckpointer(
+                multiprocessing_options=mp_options)
+        else:
+            self._ckpt = ocp.StandardCheckpointer()
 
     # ------------------------------------------------------------------ save
 
@@ -59,6 +90,8 @@ class CheckpointManager:
         self.wait_until_finished()  # at most one save in flight
         path = self.directory / f"step_{step:010d}"
         state_dict = serialization.to_state_dict(states)
+        if jax.process_count() > 1:
+            state_dict = jax.tree.map(_local_replica, state_dict)
         self._ckpt.save(path / "state", state_dict, force=True)
         meta = {"step": step, "hparams": hparams, "extra": extra or {}}
 

@@ -66,6 +66,30 @@ from denoising_diffusion_deep_fake_tpu.checkpoint import (
     CheckpointManager,
     save_np_rng_state,
 )
+
+
+def _host_local(tree):
+    """Fetch a pytree to host numpy, valid on multi-process global arrays.
+
+    ``jax.device_get`` refuses arrays spanning other hosts' devices;
+    replicated leaves (metrics) read their local copy, batch-sharded leaves
+    (logged image panels) concatenate this process's rows — logging the
+    local shard is the right semantic for per-host observability.
+    """
+    import numpy as np
+
+    def get(x):
+        if not hasattr(x, "sharding"):
+            return x
+        if x.is_fully_addressable:
+            return np.asarray(x)
+        if x.sharding.is_fully_replicated:
+            return np.asarray(x.addressable_shards[0].data)
+        shards = sorted(x.addressable_shards,
+                        key=lambda s: (s.index[0].start or 0))
+        return np.concatenate([np.asarray(s.data) for s in shards])
+
+    return jax.tree.map(get, tree)
 from denoising_diffusion_deep_fake_tpu.utils import (
     LoggingScheduler,
     TensorBoardLogger,
@@ -114,13 +138,13 @@ class LoopContext:
         step = self.global_step
         if step % self.cfg.log_every_n_steps == 0:
             fetched = {k: float(v) for k, v in
-                       jax.device_get(metrics).items()}
+                       _host_local(metrics).items()}
             self._guard_finite(fetched, states, rng)
             fetched["epoch"] = float(self.epoch)
             if self.primary:
                 self.tb.log_scalars(fetched, step)
         if images and self.primary:
-            for tag, batch in jax.device_get(images).items():
+            for tag, batch in _host_local(images).items():
                 self.tb.log_batch_as_image_grid(tag, batch, step)
 
     def _guard_finite(self, fetched: dict[str, float], states, rng) -> None:

@@ -61,6 +61,15 @@ def _steps_per_epoch(cfg, loader) -> int:
             else loader.batches_per_epoch)
 
 
+def _training_mesh(cfg):
+    """Multi-process runs span every global device (the data axis IS the
+    cluster); the single-process ``data_parallel`` knob keeps its meaning
+    otherwise."""
+    if jax.process_count() > 1:
+        return create_mesh(None)
+    return create_mesh(cfg.data_parallel)
+
+
 # ------------------------------------------------------------------ deep fake
 
 
@@ -84,7 +93,7 @@ def fit_deep_fake(cfg: DeepFakeConfig, *, resume_from: str | None = None,
                            shard=data_shard())
     paired = PairedLoader(loader_a, loader_b)
 
-    mesh = create_mesh(cfg.data_parallel)
+    mesh = _training_mesh(cfg)
     trainer = DeepFakeTrainer(cfg, steps_per_epoch=_steps_per_epoch(cfg, paired),
                               image_size=paired.image_size)
 
@@ -165,7 +174,7 @@ def fit_denoiser(cfg: DenoiserConfig, *, max_steps: int | None = None,
                          image_size=cfg.image_size, seed=cfg.seed,
                          class_balanced=cfg.class_balanced_sampling,
                          shard=data_shard())
-    mesh = create_mesh(cfg.data_parallel)
+    mesh = _training_mesh(cfg)
     trainer = DenoiserTrainer(cfg, steps_per_epoch=_steps_per_epoch(cfg, loader),
                               image_size=loader.image_size)
 
@@ -225,7 +234,7 @@ def fit_balance(cfg: BalanceConfig, *, max_steps: int | None = None,
     val_loader = ImageLoader(cfg.data_path, cfg.batch_size,
                              image_size=cfg.image_size, shuffle=False,
                              drop_remainder=False)
-    mesh = create_mesh(cfg.data_parallel)
+    mesh = _training_mesh(cfg)
     trainer = BalanceTrainer(cfg, steps_per_epoch=_steps_per_epoch(cfg, loader),
                              image_size=loader.image_size)
 

@@ -97,3 +97,68 @@ def test_score_dataset_pads_tail_and_shards(tmp_path):
     assert idx.shape == (5,) and losses.shape == (5,)
     assert sorted(idx.tolist()) == [0, 1, 2, 3, 4]
     assert np.isfinite(losses).all()
+
+
+@pytest.mark.slow
+def test_two_process_full_training(tmp_path):
+    """2 real processes run fit_denoiser end to end over a 4-device mesh."""
+    make_image_dataset(tmp_path, n=8, size=32, seed=0)
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    coordinator = f"127.0.0.1:{port}"
+    worker = Path(__file__).parent / "two_process_train_worker.py"
+    repo = str(Path(__file__).resolve().parents[1])
+    env = dict(os.environ)
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    for var in ("D3F_COORDINATOR", "D3F_NUM_PROCESSES", "D3F_PROCESS_ID"):
+        env.pop(var, None)
+
+    procs = [subprocess.Popen(
+        [sys.executable, str(worker), coordinator, "2", str(i),
+         str(tmp_path)],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        cwd=repo, env=env) for i in range(2)]
+    outputs = [p.communicate(timeout=600)[0] for p in procs]
+    for i, (p, out) in enumerate(zip(procs, outputs)):
+        assert p.returncode == 0, f"proc {i} failed:\n{out}"
+        assert f"proc {i}: trained 2 steps OK" in out
+    # Primary wrote the checkpoint; there is exactly one writer.
+    from denoising_diffusion_deep_fake_tpu.checkpoint import CheckpointManager
+
+    assert CheckpointManager(tmp_path / "ckpt").all_steps() == [2]
+
+
+def test_data_parallel_step_matches_single_device(tmp_path):
+    """DP-sharded train step == unsharded step (same inputs, same key)."""
+    import jax
+    import jax.numpy as jnp
+
+    from denoising_diffusion_deep_fake_tpu.config import (
+        DenoiserConfig, config_from_dict)
+    from denoising_diffusion_deep_fake_tpu.parallel import (
+        create_mesh, shard_batch, shard_state)
+    from denoising_diffusion_deep_fake_tpu.training.denoiser import (
+        DenoiserTrainer)
+
+    cfg = config_from_dict(DenoiserConfig, dict(
+        input_image_list_path="x", batch_size=8, learning_rate=1e-3,
+        encoder_name="resnet18", compute_dtype="float32",
+        noise_exponential_sampling_lambda=3.0), validate=False)
+    trainer = DenoiserTrainer(cfg, steps_per_epoch=10, image_size=32)
+    batch = np.random.default_rng(0).integers(
+        0, 256, (8, 32, 32, 3), dtype=np.uint8)
+    key = jax.random.PRNGKey(7)
+
+    results = {}
+    for dp in (1, 4):
+        mesh = create_mesh(dp, devices=jax.devices()[:dp])
+        state = shard_state(trainer.init_state(jax.random.PRNGKey(0)), mesh)
+        step = trainer.make_train_step(donate=False)
+        new_state, metrics = step(state, shard_batch(batch, mesh), key)
+        results[dp] = (float(metrics["loss"]),
+                       float(jnp.sum(jnp.abs(
+                           jax.tree.leaves(new_state.params)[0]))))
+    # Identical math up to reduction-order float differences.
+    assert abs(results[1][0] - results[4][0]) < 1e-5, results
+    assert abs(results[1][1] - results[4][1]) < 1e-3, results
