@@ -101,12 +101,12 @@ def test_score_dataset_pads_tail_and_shards(tmp_path):
 
 @pytest.mark.slow
 def test_two_process_full_training(tmp_path):
-    """2 real processes run fit_denoiser end to end over a 4-device mesh."""
-    make_image_dataset(tmp_path, n=8, size=32, seed=0)
-    with socket.socket() as s:
-        s.bind(("127.0.0.1", 0))
-        port = s.getsockname()[1]
-    coordinator = f"127.0.0.1:{port}"
+    """2 real processes run fit_denoiser end to end over a 4-device mesh.
+
+    Retried once: Gloo's fixed 30 s connect window can expire when a
+    single-core CI host is saturated (both workers compiling); a second
+    attempt distinguishes that infra flake from a real regression.
+    """
     worker = Path(__file__).parent / "two_process_train_worker.py"
     repo = str(Path(__file__).resolve().parents[1])
     env = dict(os.environ)
@@ -114,19 +114,32 @@ def test_two_process_full_training(tmp_path):
     for var in ("D3F_COORDINATOR", "D3F_NUM_PROCESSES", "D3F_PROCESS_ID"):
         env.pop(var, None)
 
-    procs = [subprocess.Popen(
-        [sys.executable, str(worker), coordinator, "2", str(i),
-         str(tmp_path)],
-        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
-        cwd=repo, env=env) for i in range(2)]
-    outputs = [p.communicate(timeout=600)[0] for p in procs]
-    for i, (p, out) in enumerate(zip(procs, outputs)):
-        assert p.returncode == 0, f"proc {i} failed:\n{out}"
-        assert f"proc {i}: trained 2 steps OK" in out
+    last_outputs = None
+    for attempt in range(2):
+        workdir = tmp_path / f"attempt{attempt}"
+        workdir.mkdir()
+        make_image_dataset(workdir, n=8, size=32, seed=0)
+        with socket.socket() as s:
+            s.bind(("127.0.0.1", 0))
+            port = s.getsockname()[1]
+        procs = [subprocess.Popen(
+            [sys.executable, str(worker), f"127.0.0.1:{port}", "2", str(i),
+             str(workdir)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            cwd=repo, env=env) for i in range(2)]
+        last_outputs = [p.communicate(timeout=600)[0] for p in procs]
+        if all(p.returncode == 0 for p in procs):
+            break
+        flaky = any("timeout" in out.lower() or "timed out" in out.lower()
+                    for out in last_outputs)
+        assert flaky and attempt == 0, (
+            "non-timeout failure:\n" + "\n----\n".join(last_outputs))
+    for i, out in enumerate(last_outputs):
+        assert f"proc {i}: trained 2 steps OK" in out, out
     # Primary wrote the checkpoint; there is exactly one writer.
     from denoising_diffusion_deep_fake_tpu.checkpoint import CheckpointManager
 
-    assert CheckpointManager(tmp_path / "ckpt").all_steps() == [2]
+    assert CheckpointManager(workdir / "ckpt").all_steps() == [2]
 
 
 def test_data_parallel_step_matches_single_device(tmp_path):
