@@ -72,3 +72,38 @@ def test_graft_dryrun_multichip():
     import __graft_entry__
 
     __graft_entry__.dryrun_multichip(8)
+
+
+def test_spatial_sharded_step_matches_single_device():
+    """(data=2, spatial=2) train step == single-device step.
+
+    Validates that XLA's halo exchanges for H-sharded convs reproduce the
+    unsharded math (same inputs, same key) to reduction-order tolerance.
+    """
+    import numpy as np
+
+    from denoising_diffusion_deep_fake_tpu.config import (
+        DenoiserConfig, config_from_dict)
+    from denoising_diffusion_deep_fake_tpu.parallel import (
+        create_mesh, shard_batch, shard_state)
+    from denoising_diffusion_deep_fake_tpu.training.denoiser import (
+        DenoiserTrainer)
+
+    cfg = config_from_dict(DenoiserConfig, dict(
+        input_image_list_path="x", batch_size=4, learning_rate=1e-3,
+        encoder_name="resnet18", compute_dtype="float32",
+        noise_exponential_sampling_lambda=3.0), validate=False)
+    trainer = DenoiserTrainer(cfg, steps_per_epoch=10, image_size=64)
+    batch = np.random.default_rng(1).integers(
+        0, 256, (4, 64, 64, 3), dtype=np.uint8)
+    key = jax.random.PRNGKey(3)
+
+    results = {}
+    for name, (dp, sp) in {"single": (1, 1), "2x2": (2, 2)}.items():
+        mesh = create_mesh(dp, spatial=sp, devices=jax.devices()[:dp * sp])
+        state = shard_state(trainer.init_state(jax.random.PRNGKey(0)), mesh)
+        step = trainer.make_train_step(donate=False)
+        new_state, metrics = step(
+            state, shard_batch(batch, mesh, spatial=sp > 1), key)
+        results[name] = float(metrics["loss"])
+    assert abs(results["single"] - results["2x2"]) < 1e-5, results
