@@ -105,16 +105,32 @@ class CheckpointManager:
         else:
             import threading
 
-            self._pending = threading.Thread(target=finish, daemon=True)
+            def finish_guarded():
+                try:
+                    finish()
+                except BaseException as e:  # surfaced by the next join
+                    self._pending_error = e
+
+            self._pending = threading.Thread(target=finish_guarded,
+                                             daemon=True)
             self._pending.start()
         return path
 
     def wait_until_finished(self) -> None:
-        """Join any in-flight async save (no-op otherwise)."""
+        """Join any in-flight async save; re-raise its failure if it died.
+
+        A silently dropped cadence checkpoint would make ``resume`` restore
+        something much older than the user believes exists — background
+        write errors must surface on the training thread.
+        """
         pending = getattr(self, "_pending", None)
         if pending is not None:
             pending.join()
             self._pending = None
+        error = getattr(self, "_pending_error", None)
+        if error is not None:
+            self._pending_error = None
+            raise RuntimeError("async checkpoint save failed") from error
 
     def _apply_retention(self) -> None:
         steps = self.all_steps()

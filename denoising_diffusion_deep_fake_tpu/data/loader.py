@@ -69,11 +69,21 @@ class ImageLoader:
         self.classes = classes
         if shard is not None:
             # Multi-process data parallelism: each process keeps a strided
-            # slice of the manifest (parallel/distributed.py's data_shard()).
+            # slice of the manifest (parallel/distributed.py's data_shard()),
+            # truncated to the same length on every process — unequal shards
+            # would give processes different batches_per_epoch, and the one
+            # with more batches would dispatch a collective step its peers
+            # never join (deadlock). Drops at most shard_num-1 images/epoch.
             shard_idx, shard_num = shard
-            self.paths = self.paths[shard_idx::shard_num]
+            per_shard = len(self.paths) // shard_num
+            if per_shard == 0:
+                raise ValueError(
+                    f"manifest {manifest_path} has {len(self.paths)} images "
+                    f"for {shard_num} processes — every process needs one")
+            self.paths = self.paths[shard_idx::shard_num][:per_shard]
             if self.classes is not None:
-                self.classes = list(self.classes)[shard_idx::shard_num]
+                self.classes = list(
+                    self.classes)[shard_idx::shard_num][:per_shard]
         self.class_balanced = class_balanced
         if class_balanced and classes is None:
             raise ValueError(

@@ -72,6 +72,11 @@ def load_swap_model(checkpoint_path, model_a_or_b: str, *,
     # Partial restore: only the chosen model's weights + BN stats (plus EMA
     # if requested) — skips optimizer moments and the other identity.
     ckpt_mode = meta["hparams"].get("mode", cfg.mode)
+    if use_ema and ckpt_mode != "swap":
+        raise ValueError(
+            f"checkpoint at {checkpoint_path} was saved in mode="
+            f"{ckpt_mode!r} and has no EMA shadows — drop use_ema, or "
+            "train in swap mode first")
     shapes = jax.eval_shape(
         lambda: trainer.init_states(jax.random.PRNGKey(0),
                                     with_ema=ckpt_mode == "swap"))

@@ -356,8 +356,13 @@ def augment_batch(key: jax.Array, batch_uint8: jax.Array, mean, std,
         # at large resolutions on TPU; hybrid (scale matmul + block roll +
         # residual MAC) covers the rest of the 32-aligned shapes; shear
         # covers small non-32-aligned shapes; gather is the fallback.
+        # Single-device only: pallas_call has no GSPMD partitioning rule, so
+        # inside a multi-device-sharded train step it would break (or force a
+        # full-batch all-gather); explicit method="pallas" remains available
+        # for shard_map users.
         if (h % 32 == 0 and w % 32 == 0 and min(h, w) >= 256
-                and jax.default_backend() == "tpu"):
+                and jax.default_backend() == "tpu"
+                and jax.device_count() == 1):
             method = "pallas"
         elif h % 32 == 0 and w % 32 == 0:
             method = "hybrid"

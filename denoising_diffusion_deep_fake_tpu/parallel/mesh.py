@@ -90,18 +90,17 @@ def device_prefetch(iterator, mesh: Mesh, *, depth: int = 2,
     sharding = batch_sharding(mesh, spatial_dim=1 if spatial else None)
     multiprocess = jax.process_count() > 1
 
-    def put_leaf(x):
-        if getattr(x, "ndim", 0) < 3:
-            return x
+    def put(item):
         if multiprocess:
             # Each process contributes its local slice of the global batch
-            # (parallel/distributed.py batch convention).
-            return jax.make_array_from_process_local_data(
-                sharding, np.asarray(x))
-        return jax.device_put(x, sharding)
+            # (one shared implementation of the batch-assembly convention).
+            from denoising_diffusion_deep_fake_tpu.parallel.distributed import (
+                global_batch_from_local)
 
-    def put(item):
-        return jax.tree.map(put_leaf, item)
+            return global_batch_from_local(item, sharding)
+        return jax.tree.map(
+            lambda x: jax.device_put(x, sharding)
+            if getattr(x, "ndim", 0) >= 3 else x, item)
 
     q: _queue.Queue = _queue.Queue(maxsize=depth)
 

@@ -114,19 +114,32 @@ class SwapEngine:
                 f"expected frames of shape {expected}, got {rgb_u8.shape}")
         if frames.dtype != np.uint8:
             raise ValueError(f"expected uint8 frames, got {frames.dtype}")
-        if frames.shape[0] > self.batch_size:
-            # Large stacks ride multiple device batches.
-            parts = [self.swap(frames[i:i + self.batch_size])
-                     for i in range(0, frames.shape[0], self.batch_size)]
-            return np.concatenate(parts, axis=0)
+        # Oversize stacks: enqueue EVERY slice before waiting on any, so
+        # slice k+1's upload overlaps slice k's compute/download instead of
+        # running strictly sequential round-trips.
+        requests = [self._submit(frames[i:i + self.batch_size])
+                    for i in range(0, frames.shape[0], self.batch_size)]
+        results = [self._wait(r) for r in requests]
+        with self._stats_lock:
+            self._stats.requests += 1  # one client call, however many slices
+        out = (results[0] if len(results) == 1
+               else np.concatenate(results, axis=0))
+        return out[0] if squeeze else out
+
+    def _submit(self, frames: np.ndarray) -> _Request:
         req = _Request(np.ascontiguousarray(frames))
         self._queue.put(req)
-        req.event.wait()
+        return req
+
+    def _wait(self, req: _Request) -> np.ndarray:
+        # Liveness-checked wait: a request that slipped into the queue while
+        # close() was draining would otherwise block its caller forever.
+        while not req.event.wait(timeout=1.0):
+            if self._closed and not self._dispatcher.is_alive():
+                raise RuntimeError("engine closed")
         if req.error is not None:
             raise req.error
-        with self._stats_lock:
-            self._stats.requests += 1
-        return req.result[0] if squeeze else req.result
+        return req.result
 
     def stats(self) -> dict:
         with self._stats_lock:
@@ -148,6 +161,15 @@ class SwapEngine:
         self._closed = True
         self._queue.put(None)
         self._dispatcher.join(timeout=5.0)
+        # Fail any requests that raced past the shutdown sentinel.
+        while True:
+            try:
+                item = self._queue.get_nowait()
+            except queue.Empty:
+                break
+            if item is not None:
+                item.error = RuntimeError("engine closed")
+                item.event.set()
 
     # ------------------------------------------------------------- internals
 

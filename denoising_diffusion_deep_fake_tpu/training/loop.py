@@ -121,10 +121,39 @@ class LoopContext:
         self.preemption = (PreemptionGuard()
                            if getattr(cfg, "handle_preemption", True)
                            else None)
+        self._preempt_calls = 0
+        self._preempt_agreed = False
 
     def preempted(self) -> bool:
-        """True once SIGTERM arrived — runners save and exit gracefully."""
-        return self.preemption is not None and self.preemption.triggered
+        """True once SIGTERM arrived — runners save and exit gracefully.
+
+        Multi-process runs must agree on WHERE to stop: SIGTERMs land with
+        skew across hosts, and a process stopping one step before its peers
+        leaves them blocked in a collective (and the primary's final save
+        hanging on it). Every ``sync_every`` calls — runners call this once
+        per step at the same loop point, so the cadence is deterministic —
+        the local flags are OR-reduced across processes; everyone then stops
+        at the same step boundary.
+        """
+        if self.preemption is None:
+            return False
+        import jax
+
+        if jax.process_count() == 1:
+            return self.preemption.triggered
+        if self._preempt_agreed:
+            return True
+        sync_every = 10
+        self._preempt_calls += 1
+        if self._preempt_calls % sync_every:
+            return False
+        import numpy as np
+        from jax.experimental import multihost_utils
+
+        flags = multihost_utils.process_allgather(
+            np.asarray([self.preemption.triggered]))
+        self._preempt_agreed = bool(np.asarray(flags).any())
+        return self._preempt_agreed
 
     # ------------------------------------------------------------- cadence
 

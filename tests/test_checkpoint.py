@@ -134,3 +134,27 @@ def test_async_save_is_consistent(tmp_path):
     assert meta2["step"] == 2
     assert float(jax.numpy.sum(restored["w"])) == float(
         jnp.sum(states["w"] * 2))
+
+
+def test_async_save_failure_surfaces(tmp_path):
+    """A failed background save must raise on the next join, not vanish."""
+    import jax.numpy as jnp
+    import pytest
+
+    from denoising_diffusion_deep_fake_tpu.checkpoint import CheckpointManager
+
+    manager = CheckpointManager(tmp_path / "ckpt")
+
+    class Boom:
+        def save(self, *a, **k):
+            pass
+
+        def wait_until_finished(self):
+            raise IOError("disk full")
+
+    manager._ckpt = Boom()
+    manager.save(1, {"w": jnp.zeros(4)}, {}, block=False)
+    with pytest.raises(RuntimeError, match="async checkpoint save failed"):
+        manager.wait_until_finished()
+    # Error is consumed; manager is usable again afterwards.
+    manager.wait_until_finished()

@@ -44,6 +44,19 @@ def test_loader_shard_partitions_manifest(tmp_path):
     assert set(shard0.paths).isdisjoint(shard1.paths)
 
 
+def test_loader_shards_equal_length_on_uneven_manifest(tmp_path):
+    # 7 images / 2 processes: both shards MUST have the same length (and so
+    # the same batches_per_epoch) or the one with more batches dispatches a
+    # collective its peer never joins.
+    manifest = make_image_dataset(tmp_path, n=7, size=8, seed=0)
+    shard0 = ImageLoader(manifest, 2, shuffle=False, shard=(0, 2))
+    shard1 = ImageLoader(manifest, 2, shuffle=False, shard=(1, 2))
+    assert len(shard0.paths) == len(shard1.paths) == 3
+    assert shard0.batches_per_epoch == shard1.batches_per_epoch
+    with pytest.raises(ValueError, match="every process"):
+        ImageLoader(manifest, 1, shuffle=False, shard=(0, 8))
+
+
 @pytest.mark.slow
 def test_two_process_cpu_mesh(tmp_path):
     """Launch 2 real processes; 4-device global mesh; cross-process psum."""

@@ -149,3 +149,26 @@ def test_swap_raw_rejects_bad_shape(server):
         server.port, "POST", "/v1/swap_raw", body=b"123",
         headers={"X-Shape": f"1,{SIZE},{SIZE},3"})
     assert status == 400 and b"bytes" in data
+
+
+def test_swap_after_close_raises(checkpoint):
+    eng = SwapEngine(checkpoint, "a", height=SIZE, width=SIZE, batch_size=2)
+    eng.close()
+    with pytest.raises(RuntimeError, match="closed"):
+        eng.swap(np.zeros((SIZE, SIZE, 3), np.uint8))
+
+
+def test_oversize_stack_counts_one_request(engine):
+    before = engine.stats()["requests"]
+    frames = np.random.default_rng(5).integers(
+        0, 256, (9, SIZE, SIZE, 3), dtype=np.uint8)  # 3 slices at batch 4
+    out = engine.swap(frames)
+    assert out.shape == frames.shape
+    assert engine.stats()["requests"] == before + 1
+
+
+def test_use_ema_on_denoise_checkpoint_is_clear_error(checkpoint):
+    from denoising_diffusion_deep_fake_tpu.inference import load_swap_model
+
+    with pytest.raises(ValueError, match="no EMA shadows"):
+        load_swap_model(checkpoint, "a", use_ema=True, image_size=SIZE)
