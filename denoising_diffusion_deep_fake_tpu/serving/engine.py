@@ -37,6 +37,9 @@ class EngineStats:
     padded_slots: int = 0          # device-batch slots wasted on padding
     total_device_ms: float = 0.0   # dispatch->fetch wall time, device batches
     errors: int = 0
+    # Rolling window of recent device-batch times for percentile reporting.
+    recent_batch_ms: list = dataclasses.field(default_factory=list)
+    RECENT_CAP = 512
 
     @property
     def occupancy(self) -> float:
@@ -151,6 +154,10 @@ class SwapEngine:
                 "batch_occupancy": round(s.occupancy, 4),
                 "mean_device_batch_ms": round(
                     s.total_device_ms / s.batches, 3) if s.batches else 0.0,
+                "p50_device_batch_ms": round(float(np.percentile(
+                    s.recent_batch_ms, 50)), 3) if s.recent_batch_ms else 0.0,
+                "p99_device_batch_ms": round(float(np.percentile(
+                    s.recent_batch_ms, 99)), 3) if s.recent_batch_ms else 0.0,
                 "errors": s.errors,
                 "batch_size": self.batch_size,
                 "identity": self.identity,
@@ -227,10 +234,14 @@ class SwapEngine:
                     offset += n
                     r.event.set()
                 with self._stats_lock:
-                    self._stats.frames += filled
-                    self._stats.batches += 1
-                    self._stats.padded_slots += pad
-                    self._stats.total_device_ms += dt_ms
+                    s = self._stats
+                    s.frames += filled
+                    s.batches += 1
+                    s.padded_slots += pad
+                    s.total_device_ms += dt_ms
+                    s.recent_batch_ms.append(dt_ms)
+                    if len(s.recent_batch_ms) > EngineStats.RECENT_CAP:
+                        del s.recent_batch_ms[:-EngineStats.RECENT_CAP]
             except BaseException as e:  # deliver, don't kill the dispatcher
                 for r in batch:
                     r.error = e

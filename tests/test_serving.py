@@ -172,3 +172,10 @@ def test_use_ema_on_denoise_checkpoint_is_clear_error(checkpoint):
 
     with pytest.raises(ValueError, match="no EMA shadows"):
         load_swap_model(checkpoint, "a", use_ema=True, image_size=SIZE)
+
+
+def test_stats_reports_latency_percentiles(engine):
+    engine.swap(np.zeros((SIZE, SIZE, 3), np.uint8))
+    stats = engine.stats()
+    assert stats["p50_device_batch_ms"] > 0
+    assert stats["p99_device_batch_ms"] >= stats["p50_device_batch_ms"]

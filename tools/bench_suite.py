@@ -121,7 +121,9 @@ BENCHES = {
     "swap128": lambda: bench_swap_train(128, 32),
     "denoiser256": lambda: bench_denoiser(256, 32),
     "ddim256": lambda: bench_ddim_swap(256, 8, 50),
+    "ddim256_b32": lambda: bench_ddim_swap(256, 32, 50),   # offline throughput
     "swap448": lambda: bench_single_pass_swap(448, 16),
+    "swap448_b32": lambda: bench_single_pass_swap(448, 32),
 }
 
 
