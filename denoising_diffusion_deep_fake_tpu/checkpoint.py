@@ -58,6 +58,8 @@ class CheckpointManager:
         self.directory = Path(directory).resolve()
         self.keep = keep
         self.directory.mkdir(parents=True, exist_ok=True)
+        self._pending = None        # in-flight async save thread
+        self._pending_error = None  # its failure, surfaced on next join
         if jax.process_count() > 1:
             # Barrier-free island mode: each process's checkpointer sees only
             # itself, so no Orbax operation synchronizes across hosts. Saves
@@ -123,13 +125,11 @@ class CheckpointManager:
         something much older than the user believes exists — background
         write errors must surface on the training thread.
         """
-        pending = getattr(self, "_pending", None)
-        if pending is not None:
-            pending.join()
+        if self._pending is not None:
+            self._pending.join()
             self._pending = None
-        error = getattr(self, "_pending_error", None)
-        if error is not None:
-            self._pending_error = None
+        if self._pending_error is not None:
+            error, self._pending_error = self._pending_error, None
             raise RuntimeError("async checkpoint save failed") from error
 
     def _apply_retention(self) -> None:

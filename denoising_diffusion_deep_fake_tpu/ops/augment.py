@@ -360,7 +360,10 @@ def augment_batch(key: jax.Array, batch_uint8: jax.Array, mean, std,
         # inside a multi-device-sharded train step it would break (or force a
         # full-batch all-gather); explicit method="pallas" remains available
         # for shard_map users.
-        if (h % 32 == 0 and w % 32 == 0 and min(h, w) >= 256
+        # >=384: at 448² the kernel is a stable 1.3-1.4x over the XLA
+        # hybrid; at 256² repeated marginal measurements straddle break-even
+        # (0.9-1.5x), so the hybrid keeps that shape.
+        if (h % 32 == 0 and w % 32 == 0 and min(h, w) >= 384
                 and jax.default_backend() == "tpu"
                 and jax.device_count() == 1):
             method = "pallas"

@@ -49,22 +49,21 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _warp_pass_kernel(alpha_ref, base_ref, wgt_ref, img_ref, out_ref, *,
-                      w_in_pad: int, w_out: int, w_win: int, channels: int,
-                      true_w: int):
+                      w: int, w_win: int, channels: int):
     """One (sample, row-block) tile: scale+shift matmul, residual MAC."""
     # alpha/base arrive whole via scalar prefetch (SMEM); index by grid pos.
     alpha = alpha_ref[pl.program_id(0)]
     base = base_ref[pl.program_id(0), pl.program_id(1)].astype(jnp.float32)
-    half_w = true_w / 2.0  # rotation center of the ORIGINAL width (cx)
+    half_w = w / 2.0  # rotation center (cx)
 
     # Banded interpolation matrix S[i, o] = hat(src(o) - i) where
     # src(o) = alpha * (o - K + base - cx) + cx   for o in [0, w_win).
     # Folds the centered scale AND the block-integer shift; src outside
     # [0, w_in) matches no i -> zero border.
     # Mosaic's iota is integer-only; cast to f32 after.
-    i_idx = jax.lax.broadcasted_iota(jnp.int32, (w_in_pad, w_win),
+    i_idx = jax.lax.broadcasted_iota(jnp.int32, (w, w_win),
                                      0).astype(jnp.float32)
-    o_idx = jax.lax.broadcasted_iota(jnp.int32, (w_in_pad, w_win),
+    o_idx = jax.lax.broadcasted_iota(jnp.int32, (w, w_win),
                                      1).astype(jnp.float32)
     src = alpha * (o_idx - float(K) + base - half_w) + half_w
     s_mat = jnp.clip(1.0 - jnp.abs(src - i_idx), 0.0, 1.0)
@@ -81,9 +80,9 @@ def _warp_pass_kernel(alpha_ref, base_ref, wgt_ref, img_ref, out_ref, *,
 
     # Residual 25-tap blend, per-(row,channel) weights; reads hit VMEM.
     wgt = wgt_ref[0]  # (ROWS*C, WGT_PAD)
-    acc = jnp.zeros((ROWS * channels, w_out), jnp.float32)
+    acc = jnp.zeros((ROWS * channels, w), jnp.float32)
     for j in range(TAPS):
-        acc = acc + wgt[:, j][:, None] * g_win[:, j:j + w_out]
+        acc = acc + wgt[:, j][:, None] * g_win[:, j:j + w]
     out_ref[0] = acc
 
 
@@ -103,8 +102,6 @@ def warp_axis_pass_pallas(img_bhcw: jax.Array, alpha: jax.Array,
     # Blocks spanning the FULL lane dimension are exempt from the
     # 128-divisibility rule, so no width padding is needed anywhere; the
     # window only has to cover true outputs: x + j <= (w-1) + 2K.
-    w_in_pad = w
-    w_out_pad = w
     w_win = _round_up(w + 2 * K, 128)
 
     # Displacement in scale-output coordinates (see _hybrid_axis_pass):
@@ -126,27 +123,26 @@ def warp_axis_pass_pallas(img_bhcw: jax.Array, alpha: jax.Array,
     # then sees plain 2-D (ROWS*C, W) tiles with rows on sublanes.
     img2 = img_bhcw.astype(jnp.float32).reshape(b, h * c, w)
 
-    kernel = functools.partial(_warp_pass_kernel, w_in_pad=w_in_pad,
-                               w_out=w_out_pad, w_win=w_win, channels=c,
-                               true_w=w)
+    kernel = functools.partial(_warp_pass_kernel, w=w, w_win=w_win,
+                               channels=c)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,  # alpha (B,), base (B, nb) land in SMEM whole
         grid=(b, nb),
         in_specs=[
             pl.BlockSpec((1, ROWS * c, WGT_PAD), lambda i, j, *_: (i, j, 0),
                          memory_space=pltpu.VMEM),               # wgt
-            pl.BlockSpec((1, ROWS * c, w_in_pad),
+            pl.BlockSpec((1, ROWS * c, w),
                          lambda i, j, *_: (i, j, 0),
                          memory_space=pltpu.VMEM),               # img
         ],
-        out_specs=pl.BlockSpec((1, ROWS * c, w_out_pad),
+        out_specs=pl.BlockSpec((1, ROWS * c, w),
                                lambda i, j, *_: (i, j, 0),
                                memory_space=pltpu.VMEM),
     )
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((b, h * c, w_out_pad), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((b, h * c, w), jnp.float32),
         interpret=interpret,
     )(alpha.astype(jnp.float32), base, wgt, img2)
     return out.reshape(b, h, c, w)

@@ -29,24 +29,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 import numpy as np
 
 
-def make_identity_dataset(root: Path, tint, n=64, size=64, seed=0) -> Path:
-    """Smooth blobs tinted toward one identity's color statistics."""
-    import cv2
-
-    rng = np.random.default_rng(seed)
-    root.mkdir(parents=True, exist_ok=True)
-    tint = np.asarray(tint, np.float32)
-    names = []
-    for i in range(n):
-        small = rng.random((8, 8, 3)).astype(np.float32)
-        img = cv2.resize(small, (size, size), interpolation=cv2.INTER_CUBIC)
-        img = np.clip((0.35 * img + 0.65 * tint) * 255, 0, 255).astype(np.uint8)
-        cv2.imwrite(str(root / f"{i:04d}.jpg"), img,
-                    [cv2.IMWRITE_JPEG_QUALITY, 95])
-        names.append(f"{i:04d}.jpg")
-    manifest = root / "images.txt"
-    manifest.write_text("".join(f"{x}\n" for x in names))
-    return manifest
+from train_smoke import make_blob_dataset  # shared tinted-blob generator
 
 
 def read_scalar_series(log_dir: str, tag: str):
@@ -71,8 +54,8 @@ def main():
 
     tmp = Path(tempfile.mkdtemp(prefix="e2e_swap_"))
     # Identity A reddish, identity B bluish — statistically separable.
-    m_a = make_identity_dataset(tmp / "a", (0.75, 0.35, 0.30), seed=1)
-    m_b = make_identity_dataset(tmp / "b", (0.30, 0.40, 0.75), seed=2)
+    m_a = make_blob_dataset(tmp / "a", seed=1, tint=(0.75, 0.35, 0.30))
+    m_b = make_blob_dataset(tmp / "b", seed=2, tint=(0.30, 0.40, 0.75))
 
     base = dict(
         mode="denoise", data_path_a=str(m_a), data_path_b=str(m_b),

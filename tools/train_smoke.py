@@ -19,8 +19,11 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
-def make_blob_dataset(root: Path, n=64, size=64, seed=0) -> Path:
-    """Smooth random blobs — learnable structure, unlike pure noise."""
+def make_blob_dataset(root: Path, n=64, size=64, seed=0, tint=None) -> Path:
+    """Smooth random blobs — learnable structure, unlike pure noise.
+
+    ``tint`` (RGB triple in [0,1]) biases every image toward one identity's
+    color statistics (the e2e swap demo's two-identity datasets)."""
     import cv2
     import numpy as np
 
@@ -30,6 +33,8 @@ def make_blob_dataset(root: Path, n=64, size=64, seed=0) -> Path:
     for i in range(n):
         small = rng.random((8, 8, 3)).astype(np.float32)
         img = cv2.resize(small, (size, size), interpolation=cv2.INTER_CUBIC)
+        if tint is not None:
+            img = 0.35 * img + 0.65 * np.asarray(tint, np.float32)
         img = np.clip(img * 255, 0, 255).astype(np.uint8)
         cv2.imwrite(str(root / f"{i:04d}.jpg"), img,
                     [cv2.IMWRITE_JPEG_QUALITY, 95])
