@@ -228,7 +228,7 @@ def import_ckpt(ckpt_path, output_dir):
 
 @cli.command()
 @click.argument("checkpoint_path")
-@click.argument("model_a_or_b", type=click.Choice(["a", "b"]))
+@click.argument("model_a_or_b", type=click.Choice(["a", "b", "both"]))
 @click.option("--host", default="0.0.0.0")
 @click.option("--port", type=int, default=8000)
 @click.option("--width", type=int, default=448)

@@ -12,6 +12,10 @@ Endpoints:
                            frame shape). Returns raw uint8 RGB of the same
                            shape. Zero-copy path for local pipelines.
 
+All routes accept ``?identity=a|b`` when the server holds both identities
+(``d3f-tpu serve <ckpt> both``); without the parameter the first engine
+serves the request.
+
 Every request thread blocks inside ``SwapEngine.swap``; the engine's
 dispatcher micro-batches concurrent requests into shared device batches, so
 throughput scales with client concurrency up to the device batch size.
@@ -26,6 +30,7 @@ from __future__ import annotations
 
 import json
 import threading
+import urllib.parse
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 import numpy as np
@@ -33,7 +38,9 @@ import numpy as np
 from denoising_diffusion_deep_fake_tpu.serving.engine import SwapEngine
 
 
-def _make_handler(engine: SwapEngine):
+def _make_handler(engines: dict[str, SwapEngine]):
+    default_identity = next(iter(engines))
+
     class Handler(BaseHTTPRequestHandler):
         protocol_version = "HTTP/1.1"
 
@@ -56,38 +63,55 @@ def _make_handler(engine: SwapEngine):
             length = int(self.headers.get("Content-Length", 0))
             return self.rfile.read(length)
 
+        def _route(self) -> tuple[str, SwapEngine]:
+            """Split path from query; pick the engine by ?identity=a|b."""
+            parsed = urllib.parse.urlparse(self.path)
+            query = urllib.parse.parse_qs(parsed.query)
+            identity = query.get("identity", [default_identity])[0]
+            engine = engines.get(identity)
+            if engine is None:
+                raise ValueError(
+                    f"identity {identity!r} not served; have "
+                    f"{sorted(engines)}")
+            return parsed.path, engine
+
         # ------------------------------------------------------------- GET
 
         def do_GET(self):
-            if self.path == "/healthz":
+            try:
+                path, engine = self._route()
+            except ValueError as e:
+                self._reply_json(400, {"error": str(e)})
+                return
+            if path == "/healthz":
                 self._reply_json(200, {
                     "status": "ok",
-                    "identity": engine.identity,
+                    "identities": sorted(engines),
                     "frame_shape": [engine.height, engine.width, 3],
                     "batch_size": engine.batch_size,
                 })
-            elif self.path == "/v1/stats":
+            elif path == "/v1/stats":
                 self._reply_json(200, engine.stats())
             else:
-                self._reply_json(404, {"error": f"unknown path {self.path}"})
+                self._reply_json(404, {"error": f"unknown path {path}"})
 
         # ------------------------------------------------------------ POST
 
         def do_POST(self):
             try:
-                if self.path == "/v1/swap":
-                    self._swap_encoded()
-                elif self.path == "/v1/swap_raw":
-                    self._swap_raw()
+                path, engine = self._route()
+                if path == "/v1/swap":
+                    self._swap_encoded(engine)
+                elif path == "/v1/swap_raw":
+                    self._swap_raw(engine)
                 else:
-                    self._reply_json(404,
-                                     {"error": f"unknown path {self.path}"})
+                    self._reply_json(404, {"error": f"unknown path {path}"})
             except ValueError as e:
                 self._reply_json(400, {"error": str(e)})
             except Exception as e:  # surface engine errors as 500s
                 self._reply_json(500, {"error": f"{type(e).__name__}: {e}"})
 
-        def _swap_encoded(self):
+        def _swap_encoded(self, engine: SwapEngine):
             import cv2
 
             from denoising_diffusion_deep_fake_tpu.inference import (
@@ -106,7 +130,7 @@ def _make_handler(engine: SwapEngine):
                 raise RuntimeError("jpeg encode failed")
             self._reply(200, out.tobytes(), "image/jpeg")
 
-        def _swap_raw(self):
+        def _swap_raw(self, engine: SwapEngine):
             shape_hdr = self.headers.get("X-Shape")
             if not shape_hdr:
                 raise ValueError("missing X-Shape header (H,W,3 or N,H,W,3)")
@@ -132,11 +156,17 @@ def _make_handler(engine: SwapEngine):
 
 
 class SwapServer:
-    """Owns a SwapEngine + ThreadingHTTPServer; context-manageable."""
+    """Owns the engine(s) + ThreadingHTTPServer; context-manageable.
 
-    def __init__(self, engine: SwapEngine, *, host: str = "127.0.0.1",
-                 port: int = 8000):
-        self.engine = engine
+    Accepts one engine (single identity) or a dict {"a": ..., "b": ...};
+    requests pick with ``?identity=`` (default: the first engine)."""
+
+    def __init__(self, engine: SwapEngine | dict[str, SwapEngine], *,
+                 host: str = "127.0.0.1", port: int = 8000):
+        if isinstance(engine, SwapEngine):
+            engine = {engine.identity: engine}
+        self.engines = engine
+        self.engine = next(iter(engine.values()))  # back-compat default
         self.httpd = ThreadingHTTPServer((host, port), _make_handler(engine))
         self.httpd.daemon_threads = True
         self._thread: threading.Thread | None = None
@@ -159,7 +189,8 @@ class SwapServer:
         if self._thread is not None:
             self._thread.join(timeout=5.0)
         self.httpd.server_close()
-        self.engine.close()
+        for engine in self.engines.values():
+            engine.close()
 
     def __enter__(self):
         self.start()
@@ -175,18 +206,27 @@ def run_server(checkpoint_path, identity: str, *, host: str = "0.0.0.0",
                batch_size: int = 8, use_ema: bool = False,
                sampler_steps: int = 0, max_wait_ms: float = 5.0,
                verbose: bool = True) -> None:
-    """CLI entry: load, warm up (compile), then serve until interrupted."""
-    engine = SwapEngine(checkpoint_path, identity, height=height, width=width,
-                        batch_size=batch_size, use_ema=use_ema,
-                        sampler_steps=sampler_steps, max_wait_ms=max_wait_ms)
+    """CLI entry: load, warm up (compile), then serve until interrupted.
+
+    ``identity="both"`` serves a AND b from the one checkpoint (two engines,
+    two compiled pipelines); clients pick with ``?identity=``."""
+    identities = ["a", "b"] if identity == "both" else [identity]
+    engines = {}
+    for name in identities:
+        engines[name] = SwapEngine(
+            checkpoint_path, name, height=height, width=width,
+            batch_size=batch_size, use_ema=use_ema,
+            sampler_steps=sampler_steps, max_wait_ms=max_wait_ms)
+        if verbose:
+            print(f"compiling swap pipeline for '{name}' ({height}x{width}, "
+                  f"batch {batch_size}) ...", flush=True)
+        secs = engines[name].warmup()
+        if verbose:
+            print(f"  '{name}' ready in {secs:.1f}s", flush=True)
+    server = SwapServer(engines, host=host, port=port)
     if verbose:
-        print(f"compiling swap pipeline ({height}x{width}, "
-              f"batch {batch_size}) ...", flush=True)
-    secs = engine.warmup()
-    server = SwapServer(engine, host=host, port=port)
-    if verbose:
-        print(f"ready in {secs:.1f}s — serving identity "
-              f"'{identity}' on {host}:{server.port}", flush=True)
+        print(f"serving identit{'ies' if len(engines) > 1 else 'y'} "
+              f"{sorted(engines)} on {host}:{server.port}", flush=True)
     try:
         server.serve_forever()
     except KeyboardInterrupt:

@@ -179,3 +179,27 @@ def test_stats_reports_latency_percentiles(engine):
     stats = engine.stats()
     assert stats["p50_device_batch_ms"] > 0
     assert stats["p99_device_batch_ms"] >= stats["p50_device_batch_ms"]
+
+
+def test_serve_both_identities(checkpoint):
+    """One server, two engines; ?identity= routes; bad identity -> 400."""
+    engines = {name: SwapEngine(checkpoint, name, height=SIZE, width=SIZE,
+                                batch_size=2) for name in ("a", "b")}
+    with SwapServer(engines, port=0) as srv:
+        status, data, _ = _request(srv.port, "GET", "/healthz")
+        assert status == 200 and json.loads(data)["identities"] == ["a", "b"]
+        frame = np.random.default_rng(6).integers(
+            0, 256, (1, SIZE, SIZE, 3), dtype=np.uint8)
+        outs = {}
+        for ident in ("a", "b"):
+            status, data, _ = _request(
+                srv.port, "POST", f"/v1/swap_raw?identity={ident}",
+                body=frame.tobytes(), headers={"X-Shape": f"1,{SIZE},{SIZE},3"})
+            assert status == 200, data
+            outs[ident] = np.frombuffer(data, np.uint8)
+        # Different models + different de/normalization stats -> different fakes.
+        assert not np.array_equal(outs["a"], outs["b"])
+        status, data, _ = _request(
+            srv.port, "POST", "/v1/swap_raw?identity=c",
+            body=frame.tobytes(), headers={"X-Shape": f"1,{SIZE},{SIZE},3"})
+        assert status == 400 and b"not served" in data
