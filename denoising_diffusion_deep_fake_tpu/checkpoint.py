@@ -60,21 +60,27 @@ class CheckpointManager:
         self.directory.mkdir(parents=True, exist_ok=True)
         self._pending = None        # in-flight async save thread
         self._pending_error = None  # its failure, surfaced on next join
-        if jax.process_count() > 1:
-            # Barrier-free island mode: each process's checkpointer sees only
-            # itself, so no Orbax operation synchronizes across hosts. Saves
-            # only ever run on the primary (LoopContext gates them) over the
-            # locally-replicated state snapshot; restores are plain reads any
-            # process can do independently. Default options would instead
-            # make save/restore collective and deadlock the primary-only
-            # save in sync_global_processes.
-            me = jax.process_index()
-            mp_options = ocp.options.MultiprocessingOptions(
-                primary_host=me, active_processes={me})
-            self._ckpt = ocp.StandardCheckpointer(
-                multiprocessing_options=mp_options)
-        else:
-            self._ckpt = ocp.StandardCheckpointer()
+        self._ckpt = ocp.StandardCheckpointer(
+            **self._island_mode_options())
+
+    @staticmethod
+    def _island_mode_options() -> dict:
+        """Orbax options making every checkpointer barrier-free.
+
+        In multi-process runs each process's checkpointer sees only itself,
+        so no Orbax operation synchronizes across hosts. Saves only ever run
+        on the primary (LoopContext gates them) over the locally-replicated
+        state snapshot; restores are plain reads any process can do
+        independently. Default options would instead make save/restore
+        collective and deadlock the primary-only save in
+        sync_global_processes (multi-host pitfall #1) — every checkpointer
+        built here (incl. ``restore_partial``'s) must share these options.
+        """
+        if jax.process_count() <= 1:
+            return {}
+        me = jax.process_index()
+        return {"multiprocessing_options": ocp.options.MultiprocessingOptions(
+            primary_host=me, active_processes={me})}
 
     # ------------------------------------------------------------------ save
 
@@ -201,7 +207,13 @@ class CheckpointManager:
             lambda x: ocp.utils.to_shape_dtype_struct(x)
             if hasattr(x, "shape") else x, abstract_subtree)
         restore_args = ocp.checkpoint_utils.construct_restore_args(abstract)
-        raw = ocp.PyTreeCheckpointer().restore(
+        # Same island-mode options as self._ckpt (PyTreeCheckpointer itself
+        # doesn't accept them, so compose Checkpointer + handler directly):
+        # a default-options reader invoked in a multi-process run would
+        # introduce global barriers that hang or desync processes.
+        reader = ocp.Checkpointer(ocp.PyTreeCheckpointHandler(),
+                                  **self._island_mode_options())
+        raw = reader.restore(
             path / "state",
             args=ocp.args.PyTreeRestore(item=abstract,
                                         restore_args=restore_args,

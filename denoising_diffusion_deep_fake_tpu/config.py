@@ -52,6 +52,11 @@ class BaseConfig:
     image_size: int | None = None      # None -> inferred from the first image
     compute_dtype: str = "bfloat16"    # "float32" for parity runs
     data_parallel: int = 1             # devices on the batch axis of the mesh
+    # Devices on the 'spatial' mesh axis: conv feature maps are H-sharded
+    # across them (XLA GSPMD derives the halo exchanges) — the TPU-native
+    # scaling axis for large resolutions (SURVEY.md §2 "TPU-native
+    # equivalents"; the reference trains 448² crops single-device).
+    spatial_parallel: int = 1
     seed: int = 0
     log_dir: str = "runs"
     checkpoint_dir: str = "checkpoints"
@@ -83,6 +88,12 @@ class BaseConfig:
             raise ValueError("data_parallel must be positive")
         if self.batch_size % self.data_parallel != 0:
             raise ValueError("batch_size must divide evenly across data_parallel")
+        if self.spatial_parallel <= 0:
+            raise ValueError("spatial_parallel must be positive")
+        if (self.image_size is not None
+                and self.image_size % self.spatial_parallel != 0):
+            raise ValueError(
+                "image_size must divide evenly across spatial_parallel")
 
     @property
     def cosine_t_max(self) -> int:

@@ -59,7 +59,9 @@ class ImageLoader:
                  decode_fn: Callable[[str], np.ndarray] | None = None,
                  use_native: bool = True, native_threads: int = 4,
                  class_balanced: bool = False,
-                 shard: tuple[int, int] | None = None):
+                 shard: tuple[int, int] | None = None,
+                 cache: bool | str = "auto",
+                 cache_limit_bytes: int = 2 << 30):
         from denoising_diffusion_deep_fake_tpu.data.manifest import (
             read_image_manifest_with_classes)
 
@@ -117,6 +119,21 @@ class ImageLoader:
                 self.load_batch_fn = native_loader.NativeBatchSource(
                     image_size, n_threads=native_threads)
 
+        # Decoded-image RAM cache (the tf.data ``.cache()`` analogue): each
+        # image is decoded at most once; later epochs are a fancy-index copy.
+        # Training-throughput ceilings of thousands of imgs/sec can't be fed
+        # by per-epoch JPEG decode on a small host, and face datasets
+        # (thousands of fixed-size crops) usually fit in RAM. ``"auto"``
+        # enables it when the decoded dataset fits ``cache_limit_bytes``.
+        n_bytes = len(self.paths) * self.image_size * self.image_size * 3
+        self._cache_enabled = (cache is True or
+                               (cache == "auto" and n_bytes <= cache_limit_bytes))
+        if self._cache_enabled:
+            self._cache_store = np.empty(
+                (len(self.paths), self.image_size, self.image_size, 3),
+                dtype=np.uint8)
+            self._cache_valid = np.zeros(len(self.paths), dtype=bool)
+
     def __len__(self) -> int:
         return len(self.paths)
 
@@ -144,15 +161,24 @@ class ImageLoader:
             rng.shuffle(order)
         return order
 
-    def _load_batch(self, indices: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    def _decode_batch(self, indices: np.ndarray) -> np.ndarray:
         size = self.image_size
         if self.load_batch_fn is not None:
-            batch = self.load_batch_fn([self.paths[i] for i in indices])
-            return batch, indices.astype(np.int32)
+            return self.load_batch_fn([self.paths[i] for i in indices])
         batch = np.empty((len(indices), size, size, 3), dtype=np.uint8)
         for row, idx in enumerate(indices):
             batch[row] = _resize_if_needed(self.decode_fn(self.paths[idx]), size)
-        return batch, indices.astype(np.int32)
+        return batch
+
+    def _load_batch(self, indices: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        if not self._cache_enabled:
+            return self._decode_batch(indices), indices.astype(np.int32)
+        missing = indices[~self._cache_valid[indices]]
+        if missing.size:
+            missing = np.unique(missing)
+            self._cache_store[missing] = self._decode_batch(missing)
+            self._cache_valid[missing] = True
+        return self._cache_store[indices], indices.astype(np.int32)
 
     def epoch(self, epoch: int):
         """Yield this epoch's batches, decoding ahead on a worker thread."""

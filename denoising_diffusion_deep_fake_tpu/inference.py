@@ -66,8 +66,13 @@ def load_swap_model(checkpoint_path, model_a_or_b: str, *,
     manager = CheckpointManager(checkpoint_path)
     meta = manager.read_meta()
     cfg = config_from_dict(DeepFakeConfig, meta["hparams"], validate=False)
+    # Checkpoint-first precedence (matches the reference video path,
+    # `put_video_through_fake_model.py:48-52`): the trained image_size wins
+    # over the caller's display size — the U-Nets are fully convolutional,
+    # so trainer.image_size only shapes init/eval_shape, but any future
+    # size-dependent parameter must come from the checkpoint, not the caller.
     trainer = DeepFakeTrainer(cfg, steps_per_epoch=1,
-                              image_size=image_size or cfg.image_size or 448)
+                              image_size=cfg.image_size or image_size or 448)
 
     # Partial restore: only the chosen model's weights + BN stats (plus EMA
     # if requested) — skips optimizer moments and the other identity.

@@ -14,8 +14,11 @@ rebuilds that encoder family TPU-first:
   (identity, conv1-relu at 1/2, layer1 at 1/4, layer2 at 1/8, layer3 at 1/16,
   layer4 at 1/32).
 
-Supported: resnet18/34 (BasicBlock) and resnet50 (Bottleneck), covering the
-reference's configurable ``encoder_name``.
+Supported: the full smp resnet encoder family — resnet18/34 (BasicBlock),
+resnet50/101/152 (Bottleneck), resnext50_32x4d / resnext101_32x8d (grouped
+Bottleneck), wide_resnet50_2 / wide_resnet101_2 — every resnet-family name
+smp's ``Unet(encoder_name=...)`` accepts (the reference passes the name
+straight through, `lit_module.py:53-59`).
 """
 
 from __future__ import annotations
@@ -26,11 +29,36 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-# name -> (block kind, blocks per stage, stage base widths, expansion)
+from typing import NamedTuple
+
+
+class ResNetSpec(NamedTuple):
+    """One torchvision-family encoder variant (smp's resnet catalog,
+    `segmentation_models_pytorch/encoders/resnet.py` — every name smp's
+    ``Unet(encoder_name=...)`` accepts from the resnet family)."""
+
+    kind: str                   # "basic" | "bottleneck"
+    blocks: tuple               # blocks per stage
+    widths: tuple = (64, 128, 256, 512)   # stage planes
+    expansion: int = 1
+    groups: int = 1             # ResNeXt cardinality
+    base_width: int = 64        # ResNeXt/wide bottleneck width basis
+
+
 RESNET_SPECS = {
-    "resnet18": ("basic", (2, 2, 2, 2), (64, 128, 256, 512), 1),
-    "resnet34": ("basic", (3, 4, 6, 3), (64, 128, 256, 512), 1),
-    "resnet50": ("bottleneck", (3, 4, 6, 3), (64, 128, 256, 512), 4),
+    "resnet18": ResNetSpec("basic", (2, 2, 2, 2)),
+    "resnet34": ResNetSpec("basic", (3, 4, 6, 3)),
+    "resnet50": ResNetSpec("bottleneck", (3, 4, 6, 3), expansion=4),
+    "resnet101": ResNetSpec("bottleneck", (3, 4, 23, 3), expansion=4),
+    "resnet152": ResNetSpec("bottleneck", (3, 8, 36, 3), expansion=4),
+    "resnext50_32x4d": ResNetSpec("bottleneck", (3, 4, 6, 3), expansion=4,
+                                  groups=32, base_width=4),
+    "resnext101_32x8d": ResNetSpec("bottleneck", (3, 4, 23, 3), expansion=4,
+                                   groups=32, base_width=8),
+    "wide_resnet50_2": ResNetSpec("bottleneck", (3, 4, 6, 3), expansion=4,
+                                  base_width=128),
+    "wide_resnet101_2": ResNetSpec("bottleneck", (3, 4, 23, 3), expansion=4,
+                                   base_width=128),
 }
 
 # torchvision kaiming_normal_(mode="fan_out", nonlinearity="relu")
@@ -69,22 +97,30 @@ class BasicBlock(nn.Module):
 
 
 class Bottleneck(nn.Module):
-    """1x1 -> 3x3 -> 1x1 residual block (torchvision Bottleneck, expansion 4)."""
+    """1x1 -> 3x3 -> 1x1 residual block (torchvision Bottleneck, expansion 4).
+
+    ``groups``/``base_width`` follow torchvision exactly: the inner width is
+    ``int(planes * base_width / 64) * groups`` and the 3x3 conv is grouped —
+    covering ResNeXt (groups=32) and wide (base_width=128) variants.
+    """
 
     features: int
     strides: int = 1
     expansion: int = 4
+    groups: int = 1
+    base_width: int = 64
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool) -> jax.Array:
+        width = int(self.features * self.base_width / 64) * self.groups
         out = self.features * self.expansion
         residual = x
-        y = nn.Conv(self.features, (1, 1), use_bias=False,
+        y = nn.Conv(width, (1, 1), use_bias=False,
                     kernel_init=_conv_init, name="conv1")(x)
         y = nn.relu(_bn("bn1", train)(y))
-        y = nn.Conv(self.features, (3, 3), strides=(self.strides,) * 2,
+        y = nn.Conv(width, (3, 3), strides=(self.strides,) * 2,
                     padding=1, use_bias=False, kernel_init=_conv_init,
-                    name="conv2")(y)
+                    feature_group_count=self.groups, name="conv2")(y)
         y = nn.relu(_bn("bn2", train)(y))
         y = nn.Conv(out, (1, 1), use_bias=False, kernel_init=_conv_init,
                     name="conv3")(y)
@@ -108,13 +144,13 @@ class ResNetEncoder(nn.Module):
 
     @property
     def out_channels(self) -> Sequence[int]:
-        kind, _, widths, exp = RESNET_SPECS[self.encoder_name]
-        return (self.in_channels, 64) + tuple(w * exp for w in widths)
+        spec = RESNET_SPECS[self.encoder_name]
+        return (self.in_channels, 64) + tuple(
+            w * spec.expansion for w in spec.widths)
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = True) -> list[jax.Array]:
-        kind, stage_blocks, widths, exp = RESNET_SPECS[self.encoder_name]
-        block_cls = BasicBlock if kind == "basic" else Bottleneck
+        spec = RESNET_SPECS[self.encoder_name]
 
         features = [x]
         y = nn.Conv(64, (7, 7), strides=(2, 2), padding=3, use_bias=False,
@@ -126,10 +162,19 @@ class ResNetEncoder(nn.Module):
         # the pad never wins the max.
         y = nn.max_pool(y, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
 
-        for stage_idx, (n_blocks, width) in enumerate(zip(stage_blocks, widths)):
+        for stage_idx, (n_blocks, width) in enumerate(
+                zip(spec.blocks, spec.widths)):
             for block_idx in range(n_blocks):
                 strides = 2 if (stage_idx > 0 and block_idx == 0) else 1
-                y = block_cls(features=width, strides=strides,
-                              name=f"layer{stage_idx + 1}_{block_idx}")(y, train)
+                name = f"layer{stage_idx + 1}_{block_idx}"
+                if spec.kind == "basic":
+                    y = BasicBlock(features=width, strides=strides,
+                                   name=name)(y, train)
+                else:
+                    y = Bottleneck(features=width, strides=strides,
+                                   expansion=spec.expansion,
+                                   groups=spec.groups,
+                                   base_width=spec.base_width,
+                                   name=name)(y, train)
             features.append(y)
         return features

@@ -109,6 +109,28 @@ def data_shard() -> tuple[int, int] | None:
     return (jax.process_index(), n) if n > 1 else None
 
 
+def fetch_local(tree):
+    """Fetch a pytree to host numpy, valid on multi-process global arrays.
+
+    ``jax.device_get`` refuses arrays spanning other hosts' devices
+    (multi-host pitfall #2); replicated leaves read their local copy,
+    batch-sharded leaves concatenate this process's rows — the local shard
+    is the right semantic for per-host observability.
+    """
+    def get(x):
+        if not hasattr(x, "sharding"):
+            return x
+        if x.is_fully_addressable:
+            return np.asarray(x)
+        if x.sharding.is_fully_replicated:
+            return np.asarray(x.addressable_shards[0].data)
+        shards = sorted(x.addressable_shards,
+                        key=lambda s: (s.index[0].start or 0))
+        return np.concatenate([np.asarray(s.data) for s in shards])
+
+    return jax.tree.map(get, tree)
+
+
 def global_batch_from_local(local_batch, sharding):
     """Assemble a global sharded array from this process's local slice.
 

@@ -92,6 +92,11 @@ class SwapEngine:
         self._stats_lock = threading.Lock()
         self._closed = False
         self._batch_idx = 0
+        # One-slot holdover for a request that didn't fit the current device
+        # batch: it becomes the HEAD of the next batch instead of being
+        # re-queued behind newer arrivals (which starves large requests
+        # under sustained load). Touched only by the dispatcher thread.
+        self._pending: _Request | None = None
         self._dispatcher = threading.Thread(target=self._dispatch_loop,
                                             daemon=True)
         self._dispatcher.start()
@@ -169,6 +174,10 @@ class SwapEngine:
         self._queue.put(None)
         self._dispatcher.join(timeout=5.0)
         # Fail any requests that raced past the shutdown sentinel.
+        if self._pending is not None:  # dispatcher joined; safe to read
+            self._pending.error = RuntimeError("engine closed")
+            self._pending.event.set()
+            self._pending = None
         while True:
             try:
                 item = self._queue.get_nowait()
@@ -182,9 +191,12 @@ class SwapEngine:
 
     def _gather(self) -> list[_Request] | None:
         """Collect requests for one device batch (None = shutdown)."""
-        first = self._queue.get()
-        if first is None:
-            return None
+        if self._pending is not None:
+            first, self._pending = self._pending, None
+        else:
+            first = self._queue.get()
+            if first is None:
+                return None
         batch = [first]
         filled = first.frames.shape[0]
         deadline = time.monotonic() + self.max_wait_s
@@ -200,7 +212,7 @@ class SwapEngine:
                 self._queue.put(None)  # re-signal shutdown after this batch
                 break
             if filled + nxt.frames.shape[0] > self.batch_size:
-                self._queue.put(nxt)   # doesn't fit; next batch takes it
+                self._pending = nxt    # doesn't fit; heads the next batch
                 break
             batch.append(nxt)
             filled += nxt.frames.shape[0]

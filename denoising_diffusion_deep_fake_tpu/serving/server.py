@@ -49,7 +49,28 @@ def _make_handler(engines: dict[str, SwapEngine]):
         def log_message(self, fmt, *args):  # quiet by default
             pass
 
+        def _drain_body(self) -> None:
+            """Consume any unread request body before replying.
+
+            With HTTP/1.1 keep-alive, unread body bytes would be parsed as
+            the next request line, corrupting every later request on the
+            pooled connection — so every reply path (especially 400/500s
+            raised before ``_read_body``) drains first.
+            """
+            if self.headers.get("Transfer-Encoding"):
+                self.close_connection = True  # chunked bodies unsupported
+                return
+            remaining = getattr(self, "_unread_body", 0)
+            while remaining > 0:
+                chunk = self.rfile.read(min(remaining, 1 << 20))
+                if not chunk:
+                    self.close_connection = True
+                    return
+                remaining -= len(chunk)
+            self._unread_body = 0
+
         def _reply(self, code: int, body: bytes, content_type: str) -> None:
+            self._drain_body()
             self.send_response(code)
             self.send_header("Content-Type", content_type)
             self.send_header("Content-Length", str(len(body)))
@@ -59,9 +80,15 @@ def _make_handler(engines: dict[str, SwapEngine]):
         def _reply_json(self, code: int, obj) -> None:
             self._reply(code, json.dumps(obj).encode(), "application/json")
 
+        def _note_body_length(self) -> None:
+            """Per-request init (handler instances span a whole connection)."""
+            self._unread_body = int(self.headers.get("Content-Length", 0) or 0)
+
         def _read_body(self) -> bytes:
             length = int(self.headers.get("Content-Length", 0))
-            return self.rfile.read(length)
+            body = self.rfile.read(length)
+            self._unread_body = 0
+            return body
 
         def _route(self) -> tuple[str, SwapEngine]:
             """Split path from query; pick the engine by ?identity=a|b."""
@@ -78,6 +105,7 @@ def _make_handler(engines: dict[str, SwapEngine]):
         # ------------------------------------------------------------- GET
 
         def do_GET(self):
+            self._note_body_length()
             try:
                 path, engine = self._route()
             except ValueError as e:
@@ -98,6 +126,7 @@ def _make_handler(engines: dict[str, SwapEngine]):
         # ------------------------------------------------------------ POST
 
         def do_POST(self):
+            self._note_body_length()
             try:
                 path, engine = self._route()
                 if path == "/v1/swap":

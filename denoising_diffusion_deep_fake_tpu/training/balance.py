@@ -120,11 +120,31 @@ class BalanceTrainer:
         gathers back. Tail batches are padded to the static batch shape
         (keeps one compiled program AND an even shard; pad losses are
         sliced off host-side).
+
+        Multi-process runs (state replicated over the GLOBAL mesh) replicate
+        each scoring batch instead: every process feeds the identical
+        full batch (the val loader is unsharded and unshuffled), the output
+        loss vector is replicated, and each process reads its addressable
+        copy — no non-addressable ``np.asarray`` (multi-host pitfall #2).
         """
         from denoising_diffusion_deep_fake_tpu.parallel import batch_sharding
+        from denoising_diffusion_deep_fake_tpu.parallel.distributed import (
+            fetch_local)
+        from denoising_diffusion_deep_fake_tpu.parallel.mesh import (
+            replicated_sharding)
 
+        multiprocess = jax.process_count() > 1
+        if multiprocess and mesh is None:
+            raise ValueError(
+                "score_dataset needs the global mesh in multi-process runs "
+                "(state is replicated over it)")
         val_step = self.make_validation_step()
-        sharding = batch_sharding(mesh) if mesh is not None else None
+        if mesh is None:
+            sharding = None
+        elif multiprocess:
+            sharding = replicated_sharding(mesh)
+        else:
+            sharding = batch_sharding(mesh)
         batch_size = loader.batch_size
         all_idx, all_loss = [], []
         for step, (batch, idx) in enumerate(loader.epoch(epoch)):
@@ -132,9 +152,14 @@ class BalanceTrainer:
             if n_valid < batch_size:
                 pad = np.repeat(batch[-1:], batch_size - n_valid, axis=0)
                 batch = np.concatenate([batch, pad], axis=0)
-            dev = (jax.device_put(batch, sharding) if sharding is not None
-                   else jnp.asarray(batch))
+            if multiprocess:
+                dev = jax.make_array_from_process_local_data(
+                    sharding, np.asarray(batch))
+            elif sharding is not None:
+                dev = jax.device_put(batch, sharding)
+            else:
+                dev = jnp.asarray(batch)
             losses = val_step(state, dev, jax.random.fold_in(rng, step))
             all_idx.append(idx)
-            all_loss.append(np.asarray(losses)[:n_valid])
+            all_loss.append(fetch_local(losses)[:n_valid])
         return np.concatenate(all_idx), np.concatenate(all_loss)

@@ -3,18 +3,25 @@
 This is the functional replacement for the parts of ``pl.Trainer`` the
 reference leaned on (`/root/reference/d3f/train_deep_fake/start_training.py:43-53`):
 epoch iteration, step counting, scalar/image logging cadence, and wall-clock
-checkpointing. Device work stays asynchronous — metrics are only fetched on
-logging steps, so the host never blocks the TPU stream between steps.
+checkpointing. Device work stays asynchronous — scalar metrics are fetched on
+a background thread (the value-fetch barrier costs ~1.5-3 ms/dispatch on this
+host's tunnel, so even ``log_every_n_steps=1`` — the reference Trainer's
+setting, `/root/reference/d3f/train_deep_fake/start_training.py:43-48` — no
+longer stalls the hot loop); only the wall-clock-throttled image panels fetch
+synchronously.
 
 Failure detection (absent in the reference — SURVEY.md §5): fetched metrics
-are NaN/Inf-guarded; divergence triggers an emergency checkpoint and a
-``TrainingDivergedError`` naming the bad metric, instead of silently burning
-epochs on garbage.
+are NaN/Inf-guarded on the worker; divergence surfaces on the next
+``log_step`` (emergency checkpoint + ``TrainingDivergedError``) or at
+``close()``/``drain_metrics()``, instead of silently burning epochs on
+garbage.
 """
 
 from __future__ import annotations
 
 import math
+import queue
+import threading
 import time
 from typing import Any, Callable
 
@@ -68,28 +75,9 @@ from denoising_diffusion_deep_fake_tpu.checkpoint import (
 )
 
 
-def _host_local(tree):
-    """Fetch a pytree to host numpy, valid on multi-process global arrays.
-
-    ``jax.device_get`` refuses arrays spanning other hosts' devices;
-    replicated leaves (metrics) read their local copy, batch-sharded leaves
-    (logged image panels) concatenate this process's rows — logging the
-    local shard is the right semantic for per-host observability.
-    """
-    import numpy as np
-
-    def get(x):
-        if not hasattr(x, "sharding"):
-            return x
-        if x.is_fully_addressable:
-            return np.asarray(x)
-        if x.sharding.is_fully_replicated:
-            return np.asarray(x.addressable_shards[0].data)
-        shards = sorted(x.addressable_shards,
-                        key=lambda s: (s.index[0].start or 0))
-        return np.concatenate([np.asarray(s.data) for s in shards])
-
-    return jax.tree.map(get, tree)
+from denoising_diffusion_deep_fake_tpu.parallel.distributed import (
+    fetch_local as _host_local,
+)
 from denoising_diffusion_deep_fake_tpu.utils import (
     LoggingScheduler,
     TensorBoardLogger,
@@ -123,6 +111,19 @@ class LoopContext:
                            else None)
         self._preempt_calls = 0
         self._preempt_agreed = False
+        # Scalar fetches run on a worker thread so the hot loop never blocks
+        # on the ~1.5-3 ms/dispatch value-fetch barrier (BASELINE.md
+        # "performance characterization"): the queue holds device arrays
+        # (never donated — step outputs), the worker fetches + NaN-guards +
+        # writes TB, and divergence surfaces on the NEXT log_step (which has
+        # fresh, un-donated states in hand for the emergency save) or at
+        # close(). Bounded queue = backpressure if the tunnel falls behind.
+        self._metric_q: queue.Queue = queue.Queue(maxsize=64)
+        self._diverged: list | None = None
+        self._worker_error: BaseException | None = None
+        self._metric_thread = threading.Thread(
+            target=self._metric_worker, name="metric-logger", daemon=True)
+        self._metric_thread.start()
 
     def preempted(self) -> bool:
         """True once SIGTERM arrived — runners save and exit gracefully.
@@ -164,26 +165,60 @@ class LoopContext:
     def log_step(self, metrics: dict[str, Any],
                  images: dict[str, Any] | None = None,
                  states=None, rng=None) -> None:
+        self._raise_if_diverged(states, rng)
         step = self.global_step
         if step % self.cfg.log_every_n_steps == 0:
-            fetched = {k: float(v) for k, v in
-                       _host_local(metrics).items()}
-            self._guard_finite(fetched, states, rng)
-            fetched["epoch"] = float(self.epoch)
-            if self.primary:
-                self.tb.log_scalars(fetched, step)
+            # Hand the DEVICE arrays to the worker; the fetch barrier runs
+            # off-thread, overlapped with the next steps' device work.
+            self._metric_q.put((step, float(self.epoch), metrics))
         if images and self.primary:
+            # Image panels are wall-clock throttled (>=10 s apart), so a
+            # synchronous fetch here is off the steady-state hot path.
             for tag, batch in _host_local(images).items():
                 self.tb.log_batch_as_image_grid(tag, batch, step)
 
-    def _guard_finite(self, fetched: dict[str, float], states, rng) -> None:
-        bad = [k for k, v in fetched.items() if not math.isfinite(v)]
-        if not bad:
+    # -------------------------------------------------- async scalar worker
+
+    def _metric_worker(self) -> None:
+        while True:
+            item = self._metric_q.get()
+            try:
+                if item is None:
+                    return
+                step, epoch, metrics = item
+                if self._diverged is not None:
+                    continue  # drain without logging past divergence
+                fetched = {k: float(v)
+                           for k, v in _host_local(metrics).items()}
+                bad = [k for k, v in fetched.items()
+                       if not math.isfinite(v)]
+                if bad:
+                    self._diverged = [step, bad]
+                    continue
+                fetched["epoch"] = epoch
+                if self.primary:
+                    self.tb.log_scalars(fetched, step)
+            except BaseException as e:  # surfaced on the main thread
+                self._worker_error = e
+            finally:
+                self._metric_q.task_done()
+
+    def drain_metrics(self, states=None, rng=None) -> None:
+        """Block until queued scalar fetches finish; raise on divergence."""
+        self._metric_q.join()
+        self._raise_if_diverged(states, rng)
+
+    def _raise_if_diverged(self, states=None, rng=None) -> None:
+        if self._worker_error is not None:
+            err, self._worker_error = self._worker_error, None
+            raise err
+        if self._diverged is None:
             return
+        (step, bad), self._diverged = self._diverged, None  # report once
         if states is not None and rng is not None:
             self.maybe_checkpoint(states, rng, final=True)  # emergency save
         raise TrainingDivergedError(
-            f"non-finite metric(s) {bad} at step {self.global_step}"
+            f"non-finite metric(s) {bad} at step {step}"
             + ("; emergency checkpoint saved" if states is not None else ""))
 
     def maybe_checkpoint(self, states, rng, *, force: bool = False,
@@ -211,6 +246,13 @@ class LoopContext:
     def close(self) -> None:
         if self.preemption is not None:
             self.preemption.restore()
+        self._metric_q.join()
+        self._metric_q.put(None)  # stop worker
+        self._metric_thread.join()
         self.ckpt.wait_until_finished()
         self.tb.flush()
         self.tb.close()
+        # Divergence discovered only during the final drain: the runner's
+        # final checkpoint (saved before close) preserves the state; raise so
+        # callers don't mistake the run for a clean finish.
+        self._raise_if_diverged()

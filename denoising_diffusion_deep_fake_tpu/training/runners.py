@@ -62,12 +62,21 @@ def _steps_per_epoch(cfg, loader) -> int:
 
 
 def _training_mesh(cfg):
-    """Multi-process runs span every global device (the data axis IS the
-    cluster); the single-process ``data_parallel`` knob keeps its meaning
-    otherwise."""
+    """Build the ('data', 'spatial') training mesh from config knobs.
+
+    Multi-process runs span every global device (data axis = the cluster /
+    spatial_parallel); single-process keeps the explicit ``data_parallel``
+    knob. ``spatial_parallel > 1`` H-shards activations across the spatial
+    axis (large-resolution scaling — batch uploads get the matching
+    sharding via ``_spatial(cfg)`` below)."""
+    spatial = getattr(cfg, "spatial_parallel", 1)
     if jax.process_count() > 1:
-        return create_mesh(None)
-    return create_mesh(cfg.data_parallel)
+        return create_mesh(None, spatial=spatial)
+    return create_mesh(cfg.data_parallel, spatial=spatial)
+
+
+def _spatial(cfg) -> bool:
+    return getattr(cfg, "spatial_parallel", 1) > 1
 
 
 # ------------------------------------------------------------------ deep fake
@@ -75,7 +84,7 @@ def _training_mesh(cfg):
 
 def fit_deep_fake(cfg: DeepFakeConfig, *, resume_from: str | None = None,
                   modify_from: str | None = None, max_steps: int | None = None,
-                  verbose: bool = True):
+                  verbose: bool = True, step_callback=None):
     """Train the two-identity workload; returns (states, trainer, context)."""
     maybe_initialize_from_env()
     hparams = config_to_dict(cfg)
@@ -129,7 +138,7 @@ def fit_deep_fake(cfg: DeepFakeConfig, *, resume_from: str | None = None,
     for epoch in range(start_epoch, cfg.max_epochs):
         ctx.epoch = epoch
         for (batch_a, _), (batch_b, _) in device_prefetch(
-                paired.epoch(epoch), mesh):
+                paired.epoch(epoch), mesh, spatial=_spatial(cfg)):
             # Per-step key derivation happens inside the jitted step (from
             # state.step) — no host device-op per iteration; batch uploads
             # happen ahead on the prefetch thread.
@@ -141,6 +150,8 @@ def fit_deep_fake(cfg: DeepFakeConfig, *, resume_from: str | None = None,
                 states, metrics = step_plain(states, batch_a, batch_b, rng)
                 ctx.log_step(metrics, states=states, rng=rng)
             ctx.global_step += 1
+            if step_callback is not None:
+                step_callback(ctx.global_step, states, metrics)
             ctx.maybe_checkpoint(states, rng)
             if ctx.preempted():
                 if verbose and is_primary():
@@ -163,7 +174,7 @@ def fit_deep_fake(cfg: DeepFakeConfig, *, resume_from: str | None = None,
 
 
 def fit_denoiser(cfg: DenoiserConfig, *, max_steps: int | None = None,
-                 verbose: bool = True):
+                 verbose: bool = True, step_callback=None):
     maybe_initialize_from_env()
     hparams = config_to_dict(cfg)
     if verbose and is_primary():
@@ -187,7 +198,8 @@ def fit_denoiser(cfg: DenoiserConfig, *, max_steps: int | None = None,
     done = False
     for epoch in range(cfg.max_epochs):
         ctx.epoch = epoch
-        for batch, _ in device_prefetch(loader.epoch(epoch), mesh):
+        for batch, _ in device_prefetch(loader.epoch(epoch), mesh,
+                                        spatial=_spatial(cfg)):
             if ctx.want_images():
                 state, metrics, images = step_img(state, batch, rng)
                 ctx.log_step(metrics, images, states=state, rng=rng)
@@ -195,6 +207,8 @@ def fit_denoiser(cfg: DenoiserConfig, *, max_steps: int | None = None,
                 state, metrics = step_plain(state, batch, rng)
                 ctx.log_step(metrics, states=state, rng=rng)
             ctx.global_step += 1
+            if step_callback is not None:
+                step_callback(ctx.global_step, state, metrics)
             ctx.maybe_checkpoint(state, rng)
             if ctx.preempted():
                 if verbose and is_primary():
@@ -217,7 +231,7 @@ def fit_denoiser(cfg: DenoiserConfig, *, max_steps: int | None = None,
 
 
 def fit_balance(cfg: BalanceConfig, *, max_steps: int | None = None,
-                verbose: bool = True):
+                verbose: bool = True, step_callback=None):
     """Train at fixed noise, score difficulties, log histogram, write manifest."""
     maybe_initialize_from_env()
     hparams = config_to_dict(cfg)
@@ -247,7 +261,8 @@ def fit_balance(cfg: BalanceConfig, *, max_steps: int | None = None,
     done = False
     for epoch in range(cfg.max_epochs):
         ctx.epoch = epoch
-        for batch, _ in device_prefetch(loader.epoch(epoch), mesh):
+        for batch, _ in device_prefetch(loader.epoch(epoch), mesh,
+                                        spatial=_spatial(cfg)):
             if ctx.want_images():
                 state, metrics, images = step_img(state, batch, rng)
                 ctx.log_step(metrics, images, states=state, rng=rng)
@@ -255,6 +270,8 @@ def fit_balance(cfg: BalanceConfig, *, max_steps: int | None = None,
                 state, metrics = step_plain(state, batch, rng)
                 ctx.log_step(metrics, states=state, rng=rng)
             ctx.global_step += 1
+            if step_callback is not None:
+                step_callback(ctx.global_step, state, metrics)
             ctx.maybe_checkpoint(state, rng)
             if ctx.preempted():
                 if verbose and is_primary():
@@ -267,11 +284,12 @@ def fit_balance(cfg: BalanceConfig, *, max_steps: int | None = None,
 
         # Validation: per-image difficulty scores -> classes -> histogram.
         # Validation keys live in a disjoint fold-in range from train steps.
-        # Sharded scoring over the mesh when single-process; multi-process
-        # scores locally (every process holds the full dataset — see above).
+        # Data-sharded scoring when single-process; multi-process runs
+        # replicate each batch over the global mesh (every process holds the
+        # full dataset — see above) so the replicated state stays usable.
         indices, losses = trainer.score_dataset(
             state, val_loader, jax.random.fold_in(rng, 2_000_000_000 + epoch),
-            mesh=mesh if jax.process_count() == 1 else None)
+            mesh=mesh)
         classes = compute_difficulty_index(losses, cfg.number_of_classes)
         if is_primary():
             _log_difficulty_histogram(ctx, classes)

@@ -6,7 +6,8 @@ import numpy as np
 
 
 def make_image_dataset(root: Path, n: int = 12, size: int = 16,
-                       seed: int = 0, subdir: str = "") -> Path:
+                       seed: int = 0, subdir: str = "",
+                       manifest_name: str = "images.txt") -> Path:
     """Write n random JPEGs + an images.txt manifest; returns manifest path."""
     import cv2
 
@@ -19,6 +20,6 @@ def make_image_dataset(root: Path, n: int = 12, size: int = 16,
         name = f"{i:06d}.png"  # png: lossless, keeps tests deterministic
         assert cv2.imwrite(str(img_dir / name), img)
         names.append((f"{subdir}/" if subdir else "") + name)
-    manifest = root / "images.txt"
+    manifest = root / manifest_name
     manifest.write_text("".join(f"{n}\n" for n in names))
     return manifest

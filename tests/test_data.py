@@ -121,3 +121,37 @@ def test_class_balanced_requires_classed_manifest(tmp_path):
     manifest = make_image_dataset(tmp_path, n=4, size=8)
     with pytest.raises(ValueError, match="difficulty-classed"):
         ImageLoader(manifest, batch_size=2, class_balanced=True)
+
+
+def test_loader_ram_cache_decodes_once(tmp_path):
+    """Cached epochs return identical batches while decoding each image once."""
+    from helpers import make_image_dataset
+
+    manifest = make_image_dataset(tmp_path, n=6, size=16, seed=0)
+    calls = []
+
+    def counting_decode(path):
+        calls.append(path)
+        from denoising_diffusion_deep_fake_tpu.data.loader import (
+            default_decode)
+        return default_decode(path)
+
+    loader = ImageLoader(manifest, 3, shuffle=False, seed=0,
+                         decode_fn=counting_decode, cache=True)
+    epoch0 = [b for b, _ in loader.epoch(0)]
+    n_after_first = len(calls)
+    assert n_after_first == 6
+    epoch1 = [b for b, _ in loader.epoch(1)]
+    assert len(calls) == n_after_first  # second epoch fully served from RAM
+    for a, b in zip(epoch0, epoch1):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_loader_cache_auto_disables_over_limit(tmp_path):
+    from helpers import make_image_dataset
+
+    manifest = make_image_dataset(tmp_path, n=4, size=16, seed=0)
+    big = ImageLoader(manifest, 2, cache="auto", cache_limit_bytes=10)
+    small = ImageLoader(manifest, 2, cache="auto")
+    assert not big._cache_enabled
+    assert small._cache_enabled

@@ -51,15 +51,15 @@ def psnr(a: np.ndarray, b: np.ndarray, peak: float) -> float:
     return 10.0 * np.log10(peak ** 2 / mse) if mse > 0 else np.inf
 
 
-@pytest.fixture(scope="module")
-def models():
-    from torch_cpu_baseline import Unet34
+@pytest.fixture(scope="module", params=["resnet34", "resnet50"])
+def models(request):
+    from torch_cpu_baseline import UnetSMP
 
     torch.manual_seed(0)
-    tmodel = Unet34().eval()
+    tmodel = UnetSMP(request.param).eval()
     sd = _smp_named_state_dict(tmodel)
     params, stats = convert_smp_unet_state_dict(sd)
-    fmodel = create_unet("resnet34")
+    fmodel = create_unet(request.param)
     return tmodel, fmodel, {"params": params, "batch_stats": stats}
 
 

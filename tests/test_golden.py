@@ -31,6 +31,14 @@ GOLDEN_LOSSES = [0.9110961, 0.84676528, 0.82506728]
 GOLDEN_EXP_R = [0.15101501, 0.01636913, 0.06087337, 0.45817333]
 GOLDEN_NOISE_SUM = 21.053598
 GOLDEN_RATIOS = [0.12144659, 0.03393044]
+# Fused two-model swap step (EMA cross-feed ordering, lit_module.py:184-207
+# parity) — 2 steps, resnet18 fp32 32², seeds as below. Recorded 2026-08-17.
+GOLDEN_SWAP_STEPS = [
+    {"loss_swap/train_a": 1.0707165, "loss_swap/train_b": 0.88956112,
+     "swap_difference/a": 0.97938323, "swap_difference/b": 0.85922974},
+    {"loss_swap/train_a": 0.96648741, "loss_swap/train_b": 0.83956301,
+     "swap_difference/a": 0.75438136, "swap_difference/b": 0.77237386},
+]
 
 
 def test_denoiser_train_step_losses_pinned():
@@ -68,3 +76,32 @@ def test_noise_blend_pinned():
     assert abs(float(jnp.sum(noisy)) - GOLDEN_NOISE_SUM) < 1e-3
     np.testing.assert_allclose(np.asarray(ratio).reshape(-1), GOLDEN_RATIOS,
                                rtol=1e-5)
+
+
+def test_swap_train_step_metrics_pinned():
+    """The hardest parity surface (VERDICT r1 item 5): the fused two-model
+    swap step with in-jit EMA ordering, pinned under fixed PRNG."""
+    from denoising_diffusion_deep_fake_tpu.config import DeepFakeConfig
+    from denoising_diffusion_deep_fake_tpu.training.deep_fake import (
+        DeepFakeTrainer)
+
+    cfg = config_from_dict(DeepFakeConfig, dict(
+        mode="swap", data_path_a="x", data_path_b="y", batch_size=2,
+        learning_rate=1e-3, encoder_name="resnet18", compute_dtype="float32",
+        noise_exponential_sampling_lambda=8.0, ema_update_after_step=0),
+        validate=False)
+    trainer = DeepFakeTrainer(cfg, steps_per_epoch=10, image_size=32)
+    states = trainer.init_states(jax.random.PRNGKey(42))
+    step = trainer.make_train_step(donate=False)
+    rng = np.random.default_rng(123)
+    ba = jnp.asarray(rng.integers(0, 256, (2, 32, 32, 3), dtype=np.uint8))
+    bb = jnp.asarray(rng.integers(0, 256, (2, 32, 32, 3), dtype=np.uint8))
+    key = jax.random.PRNGKey(7)
+    for want in GOLDEN_SWAP_STEPS:
+        states, metrics = step(states, ba, bb, key)
+        got = {k: float(v) for k, v in metrics.items() if k in want}
+        for k, v in want.items():
+            np.testing.assert_allclose(got[k], v, rtol=1e-4, err_msg=k)
+    # Learning signal: both swap losses drop across the pinned steps.
+    assert (GOLDEN_SWAP_STEPS[1]["loss_swap/train_a"]
+            < GOLDEN_SWAP_STEPS[0]["loss_swap/train_a"])

@@ -24,12 +24,34 @@ def _ctx(tmp_path, **over):
 def test_nan_metric_raises_and_checkpoints(tmp_path):
     ctx = _ctx(tmp_path)
     state = {"w": jnp.ones(3)}
+    rng = jnp.zeros(2, jnp.uint32)
+    # The fetch + guard run on the worker thread; divergence surfaces on the
+    # next drain/log_step, which has fresh states in hand for the save.
+    ctx.log_step({"loss": jnp.asarray(float("nan"))}, states=state, rng=rng)
     with pytest.raises(TrainingDivergedError, match="loss"):
-        ctx.log_step({"loss": jnp.asarray(float("nan"))}, states=state,
-                     rng=jnp.zeros(2, jnp.uint32))
+        ctx.drain_metrics(states=state, rng=rng)
     # Emergency checkpoint landed.
     assert ctx.ckpt.latest_step() is not None
     ctx.close()
+
+
+def test_nan_metric_surfaces_at_close(tmp_path):
+    ctx = _ctx(tmp_path)
+    ctx.log_step({"loss": jnp.asarray(float("inf"))})
+    with pytest.raises(TrainingDivergedError, match="loss"):
+        ctx.close()
+
+
+def test_async_scalars_reach_tensorboard(tmp_path):
+    ctx = _ctx(tmp_path)
+    for i in range(5):
+        ctx.log_step({"loss": jnp.asarray(0.1 * i)})
+        ctx.global_step += 1
+    ctx.drain_metrics()
+    ctx.close()
+    # Event files exist and are non-trivial (scalars were written).
+    runs = list((tmp_path / "runs").rglob("events.*"))
+    assert runs and any(p.stat().st_size > 0 for p in runs)
 
 
 def test_finite_metrics_pass(tmp_path):

@@ -103,3 +103,48 @@ def test_unet_jit_and_grad(unet34_vars):
     norms = [float(jnp.linalg.norm(p)) for p in jax.tree.leaves(g)]
     assert all(np.isfinite(norms))
     assert any(n > 0 for n in norms)
+
+
+@pytest.mark.parametrize("name", ["resnet101", "resnet152", "resnext50_32x4d",
+                                  "resnext101_32x8d", "wide_resnet50_2",
+                                  "wide_resnet101_2"])
+def test_extended_encoder_family_builds(name):
+    """Every smp resnet-family encoder_name builds with the right pyramid
+    (tracing only — eval_shape, no compute)."""
+    from denoising_diffusion_deep_fake_tpu.models import ResNetEncoder
+
+    model = create_unet(name)
+    shapes = jax.eval_shape(
+        lambda: model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 64, 64, 3)), train=False))
+    assert "params" in shapes and "batch_stats" in shapes
+    enc = ResNetEncoder(encoder_name=name)
+    assert enc.out_channels[-1] == 2048  # all bottleneck variants end at 2048
+    out = jax.eval_shape(
+        lambda: model.apply(
+            {"params": shapes["params"],
+             "batch_stats": shapes["batch_stats"]},
+            jnp.zeros((1, 64, 64, 3)), train=False))
+    assert out.shape == (1, 64, 64, 3)
+
+
+@pytest.mark.parametrize("name", ["resnet50", "resnext50_32x4d",
+                                  "wide_resnet50_2"])
+def test_extended_encoder_param_count_matches_torch(name):
+    """Flax encoder param+stat count == torch replica (torchvision wiring)."""
+    torch = pytest.importorskip("torch")
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+    from torch_cpu_baseline import UnetSMP
+
+    tmodel = UnetSMP(name)
+    t_count = sum(p.numel() for p in tmodel.parameters())
+    model = create_unet(name)
+    shapes = jax.eval_shape(
+        lambda: model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 64, 64, 3)), train=False))
+    f_count = sum(int(np.prod(x.shape))
+                  for x in jax.tree.leaves(shapes["params"]))
+    assert f_count == t_count, (name, f_count, t_count)

@@ -178,7 +178,8 @@ def _synthetic_torch_state_dict(encoder="resnet34"):
     """Generate a torch smp-Unet state_dict (names + shapes) synthetically."""
     from denoising_diffusion_deep_fake_tpu.models.resnet import RESNET_SPECS
 
-    kind, blocks, widths, exp = RESNET_SPECS[encoder]
+    spec = RESNET_SPECS[encoder]
+    blocks, widths = spec.blocks, spec.widths
     sd = {}
     g = np.random.default_rng(0)
 

@@ -119,6 +119,9 @@ def bench_single_pass_swap(size, batch, encoder="resnet34"):
 BENCHES = {
     "denoiser64": lambda: bench_denoiser(64, 256),
     "swap128": lambda: bench_swap_train(128, 32),
+    # The reference's actual operating point: 448² crops, batch 16,
+    # two-identity swap (`denoise_config.yml:13-14`; VERDICT r1 item 3).
+    "swap448_train": lambda: bench_swap_train(448, 16, steps=6),
     "denoiser256": lambda: bench_denoiser(256, 32),
     "ddim256": lambda: bench_ddim_swap(256, 8, 50),
     "ddim256_b32": lambda: bench_ddim_swap(256, 32, 50),   # offline throughput

@@ -43,22 +43,66 @@ class BasicBlock(nn.Module):
         return torch.relu(y + idt)
 
 
-class Resnet34Encoder(nn.Module):
-    def __init__(self):
+class Bottleneck(nn.Module):
+    """torchvision Bottleneck (1x1 -> grouped 3x3 -> 1x1, expansion 4)."""
+
+    expansion = 4
+
+    def __init__(self, cin, planes, stride, groups=1, base_width=64):
         super().__init__()
+        width = int(planes * base_width / 64) * groups
+        out = planes * self.expansion
+        self.conv1 = nn.Conv2d(cin, width, 1, bias=False)
+        self.bn1 = nn.BatchNorm2d(width)
+        self.conv2 = nn.Conv2d(width, width, 3, stride, 1, groups=groups,
+                               bias=False)
+        self.bn2 = nn.BatchNorm2d(width)
+        self.conv3 = nn.Conv2d(width, out, 1, bias=False)
+        self.bn3 = nn.BatchNorm2d(out)
+        self.down = (nn.Sequential(nn.Conv2d(cin, out, 1, stride, bias=False),
+                                   nn.BatchNorm2d(out))
+                     if (stride != 1 or cin != out) else None)
+
+    def forward(self, x):
+        idt = x if self.down is None else self.down(x)
+        y = torch.relu(self.bn1(self.conv1(x)))
+        y = torch.relu(self.bn2(self.conv2(y)))
+        y = self.bn3(self.conv3(y))
+        return torch.relu(y + idt)
+
+
+# Mirrors models/resnet.py RESNET_SPECS (torchvision / smp resnet family).
+ENCODER_SPECS = {
+    "resnet18": ("basic", (2, 2, 2, 2), 1, 1, 64),
+    "resnet34": ("basic", (3, 4, 6, 3), 1, 1, 64),
+    "resnet50": ("bottleneck", (3, 4, 6, 3), 4, 1, 64),
+    "resnext50_32x4d": ("bottleneck", (3, 4, 6, 3), 4, 32, 4),
+    "wide_resnet50_2": ("bottleneck", (3, 4, 6, 3), 4, 1, 128),
+}
+
+
+class ResnetEncoder(nn.Module):
+    def __init__(self, name="resnet34"):
+        super().__init__()
+        kind, blocks, exp, groups, base_width = ENCODER_SPECS[name]
         self.conv1 = nn.Conv2d(3, 64, 7, 2, 3, bias=False)
         self.bn1 = nn.BatchNorm2d(64)
         self.maxpool = nn.MaxPool2d(3, 2, 1)
-        cfg = [(3, 64), (4, 128), (6, 256), (3, 512)]
+        widths = (64, 128, 256, 512)
         cin = 64
         self.layers = nn.ModuleList()
-        for li, (n, w) in enumerate(cfg):
-            blocks = []
+        for li, (n, w) in enumerate(zip(blocks, widths)):
+            stage = []
             for bi in range(n):
-                blocks.append(BasicBlock(cin if bi == 0 else w, w,
-                                         2 if (li > 0 and bi == 0) else 1))
-            cin = w
-            self.layers.append(nn.Sequential(*blocks))
+                stride = 2 if (li > 0 and bi == 0) else 1
+                if kind == "basic":
+                    stage.append(BasicBlock(cin, w, stride))
+                    cin = w
+                else:
+                    stage.append(Bottleneck(cin, w, stride, groups, base_width))
+                    cin = w * exp
+            self.layers.append(nn.Sequential(*stage))
+        self.out_channels = (3, 64) + tuple(w * exp for w in widths)
 
     def forward(self, x):
         feats = [x]
@@ -69,6 +113,9 @@ class Resnet34Encoder(nn.Module):
             y = layer(y)
             feats.append(y)
         return feats
+
+
+Resnet34Encoder = ResnetEncoder  # back-compat alias
 
 
 class DecoderBlock(nn.Module):
@@ -84,15 +131,22 @@ class DecoderBlock(nn.Module):
         return self.conv2(self.conv1(x))
 
 
-class Unet34(nn.Module):
-    def __init__(self):
+class UnetSMP(nn.Module):
+    """smp-Unet replica: decoder channel wiring follows smp's UnetDecoder
+    (encoder channels reversed sans input; head = deepest level; skips are
+    the shallower levels + a skipless last block — see docs/PARITY.md)."""
+
+    def __init__(self, encoder_name="resnet34",
+                 decoder_channels=(256, 128, 64, 32, 16)):
         super().__init__()
-        self.encoder = Resnet34Encoder()
-        ins, skips, outs = [512, 256, 128, 64, 32], [256, 128, 64, 64, 0], \
-            [256, 128, 64, 32, 16]
+        self.encoder = ResnetEncoder(encoder_name)
+        enc = list(self.encoder.out_channels)[1:][::-1]
+        ins = [enc[0]] + list(decoder_channels[:-1])
+        skips = enc[1:] + [0]
         self.blocks = nn.ModuleList(
-            [DecoderBlock(i, s, o) for i, s, o in zip(ins, skips, outs)])
-        self.head = nn.Conv2d(16, 3, 3, 1, 1)
+            [DecoderBlock(i, s, o)
+             for i, s, o in zip(ins, skips, decoder_channels)])
+        self.head = nn.Conv2d(decoder_channels[-1], 3, 3, 1, 1)
 
     def forward(self, x):
         feats = self.encoder(x)
@@ -101,6 +155,11 @@ class Unet34(nn.Module):
         for i, block in enumerate(self.blocks):
             y = block(y, skip_feats[i] if i < len(skip_feats) else None)
         return self.head(y)
+
+
+class Unet34(UnetSMP):
+    def __init__(self):
+        super().__init__("resnet34")
 
 
 def main():
