@@ -82,9 +82,25 @@ def video_to_center_cropped_images(video_path, output_dir, width: int,
     return manifest
 
 
-def _frame_reader(video_path, width, height, batch_size, out_queue):
-    """Reader thread: decode+crop+resize frames into uint8 BGR batches."""
+def _frame_reader(video_path, width, height, batch_size, out_queue,
+                  transfer="rgb"):
+    """Reader thread: decode+crop+resize frames into uint8 batches.
+
+    Each queue item is ``(frames_bgr, upload, n_valid)``: the BGR stack for
+    the side-by-side display half plus the device upload array — NHWC RGB
+    for ``transfer="rgb"``, or (B, H*3/2, W) packed I420 (cv2's SIMD
+    converter) for the half-bytes wire format.
+    """
     import cv2
+
+    def emit(frames, n_valid):
+        stack = np.stack(frames)
+        if transfer == "i420":
+            upload = np.stack([cv2.cvtColor(f, cv2.COLOR_BGR2YUV_I420)
+                               for f in frames])
+        else:
+            upload = np.ascontiguousarray(stack[..., ::-1])
+        out_queue.put((stack, upload, n_valid))
 
     capture = cv2.VideoCapture(str(video_path))
     try:
@@ -98,14 +114,14 @@ def _frame_reader(video_path, width, height, batch_size, out_queue):
                                interpolation=cv2.INTER_CUBIC)
             frames.append(frame)
             if len(frames) == batch_size:
-                out_queue.put((np.stack(frames), batch_size))
+                emit(frames, batch_size)
                 frames = []
         if frames:
             # Pad the tail to the static batch shape — a different batch
             # size would force a fresh XLA compile (30s+) for one batch.
             n_valid = len(frames)
             frames.extend([frames[-1]] * (batch_size - n_valid))
-            out_queue.put((np.stack(frames), n_valid))
+            emit(frames, n_valid)
         out_queue.put(None)
     finally:
         capture.release()
@@ -126,13 +142,17 @@ def render_fake_video(video_path, checkpoint_path, model_a_or_b: str, *,
                       width: int = 448, height: int = 448,
                       output_path=None, batch_size: int = 8,
                       sampler_steps: int = 0, use_ema: bool | None = None,
-                      progress: bool = True,
+                      transfer: str = "rgb", progress: bool = True,
                       stats_out: dict | None = None) -> Path:
     """Stream a video through the swap model; write side-by-side real|fake.
 
     Identity mapping parity (`put_video_through_fake_model.py` +
     `lit_module.py:251-257`): model "a" swaps through model_a but
     de/normalizes with identity B's statistics, and vice versa.
+
+    ``transfer="i420"`` halves host<->device bytes (4:2:0-packed uint8 both
+    ways — the same chroma subsampling the mp4 encoder applies afterwards);
+    use it on transfer-limited links.
     """
     import cv2
     import jax
@@ -145,7 +165,8 @@ def render_fake_video(video_path, checkpoint_path, model_a_or_b: str, *,
         use_ema = False  # reference swaps through the online model
     model = load_swap_model(checkpoint_path, model_a_or_b, use_ema=use_ema,
                             image_size=height)
-    device_pipeline = make_device_pipeline(model, sampler_steps=sampler_steps)
+    device_pipeline = make_device_pipeline(model, sampler_steps=sampler_steps,
+                                           transfer=transfer)
 
     if output_path is None:
         v = Path(video_path)
@@ -155,7 +176,8 @@ def render_fake_video(video_path, checkpoint_path, model_a_or_b: str, *,
     frame_queue: queue.Queue = queue.Queue(maxsize=4)
     reader = threading.Thread(
         target=_frame_reader,
-        args=(video_path, width, height, batch_size, frame_queue), daemon=True)
+        args=(video_path, width, height, batch_size, frame_queue, transfer),
+        daemon=True)
     reader.start()
 
     key = jax.random.PRNGKey(0)
@@ -177,10 +199,12 @@ def render_fake_video(video_path, checkpoint_path, model_a_or_b: str, *,
                 frames_bgr, fake_dev, n_valid = item
                 fake_u8 = np.asarray(fake_dev)[:n_valid]  # device->host
                 frames_bgr = frames_bgr[:n_valid]
-                for real_bgr, fake_rgb in zip(frames_bgr, fake_u8):
-                    fake_bgr = fake_rgb[..., ::-1]
-                    writer.write(cv2.hconcat(
-                        [real_bgr, np.ascontiguousarray(fake_bgr)]))
+                for real_bgr, fake in zip(frames_bgr, fake_u8):
+                    if transfer == "i420":
+                        fake_bgr = cv2.cvtColor(fake, cv2.COLOR_YUV2BGR_I420)
+                    else:
+                        fake_bgr = np.ascontiguousarray(fake[..., ::-1])
+                    writer.write(cv2.hconcat([real_bgr, fake_bgr]))
                     counters["frames"] += 1
 
     import time as _time
@@ -195,9 +219,8 @@ def render_fake_video(video_path, checkpoint_path, model_a_or_b: str, *,
             item = frame_queue.get()
             if item is None:
                 break
-            frames_bgr, n_valid = item
-            rgb = np.ascontiguousarray(frames_bgr[..., ::-1])
-            fake_dev = device_pipeline(jnp.asarray(rgb), key, batch_idx)
+            frames_bgr, upload, n_valid = item
+            fake_dev = device_pipeline(jnp.asarray(upload), key, batch_idx)
             result_queue.put((frames_bgr, fake_dev, n_valid))
             now = _time.perf_counter()
             batch_times.append(now - t_prev)

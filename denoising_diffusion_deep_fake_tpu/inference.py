@@ -105,20 +105,32 @@ def load_swap_model(checkpoint_path, model_a_or_b: str, *,
                      cfg=cfg, identity=model_a_or_b)
 
 
-def make_device_pipeline(model: SwapModel, *, sampler_steps: int = 0
+def make_device_pipeline(model: SwapModel, *, sampler_steps: int = 0,
+                         transfer: str = "rgb"
                          ) -> Callable[[jax.Array, jax.Array, jax.Array],
                                        jax.Array]:
     """Jit the full uint8->uint8 swap pipeline for one SwapModel.
 
-    Returns ``f(rgb_u8 NHWC, base_key, batch_idx) -> fake_rgb_u8``:
+    Returns ``f(frames_u8, base_key, batch_idx) -> fake_u8``:
     normalize -> swap forward (+ optional scanned DDIM refinement) ->
     denormalize + trunc + clamp, all one XLA program. ``trunc`` (not round)
     matches the reference's float->uint8 cast
     (`lit_module.py:285-300` uses ``.type(torch.uint8)``).
+
+    ``transfer`` picks the host<->device wire format:
+    * ``"rgb"`` (default, reference parity): NHWC RGB uint8 both ways.
+    * ``"i420"``: 4:2:0-packed uint8 (B, H*3/2, W) both ways — HALF the
+      bytes per frame; hosts convert with cv2's I420 routines. Chroma is
+      subsampled exactly as the mp4 encoder will anyway, so the rendered
+      video keeps full quality while a transfer-limited link doubles fps.
     """
     from denoising_diffusion_deep_fake_tpu.ops.augment import normalise_batch
+    from denoising_diffusion_deep_fake_tpu.ops.image import (
+        i420_to_rgb, rgb_to_i420)
     from denoising_diffusion_deep_fake_tpu.ops.sampler import swap_refine
 
+    if transfer not in ("rgb", "i420"):
+        raise ValueError(f"transfer must be 'rgb' or 'i420', got {transfer!r}")
     predict = model.trainer.make_predict_fake(use_ema=False)
     state = model.state
     mean, std = model.mean, model.std
@@ -134,11 +146,17 @@ def make_device_pipeline(model: SwapModel, *, sampler_steps: int = 0
             return predict(state, x)
 
     @jax.jit
-    def device_pipeline(rgb_u8, key, batch_idx):
-        x = normalise_batch(rgb_u8, mean, std)
+    def device_pipeline(frames_u8, key, batch_idx):
+        if transfer == "i420":
+            rgb255 = i420_to_rgb(frames_u8)
+            x = (rgb255 - mean_dev) / std_dev
+        else:
+            x = normalise_batch(frames_u8, mean, std)
         fake = swap_batch(x, jax.random.fold_in(key, batch_idx))
-        return jnp.clip(jnp.trunc(fake * std_dev + mean_dev), 0,
-                        255).astype(jnp.uint8)
+        fake255 = jnp.clip(jnp.trunc(fake * std_dev + mean_dev), 0, 255)
+        if transfer == "i420":
+            return rgb_to_i420(fake255)
+        return fake255.astype(jnp.uint8)
 
     return device_pipeline
 

@@ -170,14 +170,18 @@ def prep(video_path, output_dir, width, height):
               help="Frames swapped per device batch.")
 @click.option("--sampler_steps", type=int, default=0,
               help="0 = single-pass parity; N>0 = scanned DDIM refinement.")
+@click.option("--transfer", type=click.Choice(["rgb", "i420"]), default="rgb",
+              help="Wire format: i420 halves host<->device bytes "
+                   "(use on transfer-limited links).")
 def swap(video_path, checkpoint_path, model_a_or_b, width, height, output,
-         batch_size, sampler_steps):
+         batch_size, sampler_steps, transfer):
     """Render a side-by-side real|fake video through a trained checkpoint."""
     from denoising_diffusion_deep_fake_tpu.data.video import render_fake_video
 
     render_fake_video(video_path, checkpoint_path, model_a_or_b,
                       width=width, height=height, output_path=output,
-                      batch_size=batch_size, sampler_steps=sampler_steps)
+                      batch_size=batch_size, sampler_steps=sampler_steps,
+                      transfer=transfer)
 
 
 # ------------------------------------------------------------------ profiling

@@ -101,3 +101,50 @@ def center_crop(image: np.ndarray, target_aspect_w: int,
     y0, y1, x0, x1 = center_crop_box(image.shape[0], image.shape[1],
                                      target_aspect_w, target_aspect_h)
     return image[y0:y1, x0:x1]
+
+
+# --------------------------------------------------------------- I420 packing
+#
+# 4:2:0-packed uint8 transfers halve host<->device bytes (1.5 B/px vs 3):
+# on transfer-limited links (BASELINE.md measures this dev tunnel at
+# ~20 MB/s) the video/serving pipelines are byte-bound, and the mp4 encoder
+# 4:2:0-subsamples anyway, so packing loses nothing the output keeps.
+# Color math matches OpenCV's COLOR_BGR2YUV_I420 / COLOR_YUV2BGR_I420
+# (BT.601 studio swing, top-left chroma subsample — calibrated against cv2
+# in tests/test_image_ops.py) so hosts can use cv2's SIMD converters.
+
+def rgb_to_i420(rgb: "jax.Array") -> "jax.Array":
+    """(B, H, W, 3) RGB [0,255] float/uint8 -> (B, H*3/2, W) uint8 I420."""
+    x = rgb.astype(jnp.float32)
+    b, h, w, _ = x.shape
+    r, g, bl = x[..., 0], x[..., 1], x[..., 2]
+    y = 16.0 + 0.257 * r + 0.504 * g + 0.098 * bl
+    # Top-left chroma sample of each 2x2 block (cv2 convention).
+    rs, gs, bs = (c[:, ::2, ::2] for c in (r, g, bl))
+    u = 128.0 - 0.148 * rs - 0.291 * gs + 0.439 * bs
+    v = 128.0 + 0.439 * rs - 0.368 * gs - 0.071 * bs
+    # I420 plane layout: Y (H,W), then U and V each (H/2, W/2) raveled into
+    # quarter-height full-width rows.
+    u_rows = u.reshape(b, h // 4, w)
+    v_rows = v.reshape(b, h // 4, w)
+    packed = jnp.concatenate([y, u_rows, v_rows], axis=1)
+    return jnp.clip(jnp.round(packed), 0, 255).astype(jnp.uint8)
+
+
+def i420_to_rgb(i420: "jax.Array") -> "jax.Array":
+    """(B, H*3/2, W) uint8 I420 -> (B, H, W, 3) float32 RGB in [0, 255]."""
+    x = i420.astype(jnp.float32)
+    b, h15, w = x.shape
+    h = (h15 * 2) // 3
+    y = x[:, :h]
+    u = x[:, h:h + h // 4].reshape(b, h // 2, w // 2)
+    v = x[:, h + h // 4:].reshape(b, h // 2, w // 2)
+    # Nearest (2x2 duplicate) chroma upsample, like cv2's I420 decode.
+    u = jnp.repeat(jnp.repeat(u, 2, axis=1), 2, axis=2)
+    v = jnp.repeat(jnp.repeat(v, 2, axis=1), 2, axis=2)
+    yc = 1.164 * (y - 16.0)
+    uc, vc = u - 128.0, v - 128.0
+    r = yc + 1.596 * vc
+    g = yc - 0.813 * vc - 0.391 * uc
+    bl = yc + 2.018 * uc
+    return jnp.clip(jnp.stack([r, g, bl], axis=-1), 0.0, 255.0)

@@ -136,7 +136,7 @@ def test_loader_ram_cache_decodes_once(tmp_path):
             default_decode)
         return default_decode(path)
 
-    loader = ImageLoader(manifest, 3, shuffle=False, seed=0,
+    loader = ImageLoader(manifest, 3, shuffle=False, seed=0, image_size=16,
                          decode_fn=counting_decode, cache=True)
     epoch0 = [b for b, _ in loader.epoch(0)]
     n_after_first = len(calls)

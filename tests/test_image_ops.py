@@ -65,3 +65,60 @@ def test_center_crop_wide_and_tall():
     out = center_crop(img, 1, 1)
     assert out.shape == (50, 50, 3)
     np.testing.assert_array_equal(out, img[:, 25:75])
+
+
+class TestI420:
+    """Device I420 pack/unpack matches OpenCV's converters (the host side
+    of the half-bytes video transfer mode)."""
+
+    def _rgb(self, rng, h=16, w=16):
+        # Smooth-ish field: chroma subsampling error stays small, as on
+        # real frames.
+        import cv2
+
+        small = rng.integers(0, 256, (h // 4, w // 4, 3), dtype=np.uint8)
+        return cv2.resize(small, (w, h), interpolation=cv2.INTER_LINEAR)
+
+    def test_rgb_to_i420_matches_cv2(self, rng):
+        import cv2
+
+        from denoising_diffusion_deep_fake_tpu.ops.image import rgb_to_i420
+
+        rgb = self._rgb(rng)
+        want = cv2.cvtColor(rgb[..., ::-1].copy(), cv2.COLOR_BGR2YUV_I420)
+        got = np.asarray(rgb_to_i420(jnp.asarray(rgb[None])))[0]
+        assert got.shape == want.shape
+        assert np.abs(got.astype(int) - want.astype(int)).max() <= 1
+
+    def test_i420_to_rgb_matches_cv2(self, rng):
+        import cv2
+
+        from denoising_diffusion_deep_fake_tpu.ops.image import i420_to_rgb
+
+        rgb = self._rgb(rng)
+        i420 = cv2.cvtColor(rgb[..., ::-1].copy(), cv2.COLOR_BGR2YUV_I420)
+        want = cv2.cvtColor(i420, cv2.COLOR_YUV2BGR_I420)[..., ::-1]
+        got = np.asarray(i420_to_rgb(jnp.asarray(i420[None])))[0]
+        assert np.abs(got - want.astype(np.float32)).max() <= 2.0
+
+    def test_round_trip_matches_cv2_round_trip(self, rng):
+        """Pack+unpack loses exactly what cv2's own 4:2:0 round trip loses
+        (chroma subsampling — the same loss the mp4 encoder applies), no
+        more: the device wire format is drop-in for the cv2 host side."""
+        import cv2
+
+        from denoising_diffusion_deep_fake_tpu.ops.image import (
+            i420_to_rgb, rgb_to_i420)
+
+        rgb = self._rgb(rng, 32, 32)
+        rt = np.asarray(i420_to_rgb(rgb_to_i420(
+            jnp.asarray(rgb[None].astype(np.float32)))))[0]
+        cv_rt = cv2.cvtColor(
+            cv2.cvtColor(rgb[..., ::-1].copy(), cv2.COLOR_BGR2YUV_I420),
+            cv2.COLOR_YUV2BGR_I420)[..., ::-1].astype(np.float32)
+        assert np.abs(rt - cv_rt).mean() < 1.0
+        # Luma itself round-trips tightly (all loss is in chroma).
+        y_rt = 0.257 * rt[..., 0] + 0.504 * rt[..., 1] + 0.098 * rt[..., 2]
+        y_in = (0.257 * rgb[..., 0] + 0.504 * rgb[..., 1]
+                + 0.098 * rgb[..., 2])
+        assert np.abs(y_rt - y_in).mean() < 1.5

@@ -178,8 +178,14 @@ def test_balance_to_train_chain(tmp_path):
         mode="denoise", data_path_a=str(out_list), data_path_b=str(out_list),
         class_balanced_sampling=True, noise_exponential_sampling_lambda=3.0,
         **small_cfg_kwargs(tmp_path / "train")))
-    states, trainer, ctx = fit_deep_fake(cfg, max_steps=2, verbose=False)
-    assert ctx.global_step == 2
+    seen = []
+    states, trainer, ctx = fit_deep_fake(
+        cfg, max_steps=2, verbose=False,
+        step_callback=lambda s, st, m: seen.append(s))
+    assert ctx.global_step == 2, (
+        f"steps seen={seen} epoch={ctx.epoch} "
+        f"steps_per_epoch={trainer.steps_per_epoch} "
+        f"preempt={ctx.preemption.triggered if ctx.preemption else None}")
 
     # The loaders actually saw the difficulty classes.
     from denoising_diffusion_deep_fake_tpu.data import ImageLoader

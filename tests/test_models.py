@@ -121,10 +121,9 @@ def test_extended_encoder_family_builds(name):
     enc = ResNetEncoder(encoder_name=name)
     assert enc.out_channels[-1] == 2048  # all bottleneck variants end at 2048
     out = jax.eval_shape(
-        lambda: model.apply(
-            {"params": shapes["params"],
-             "batch_stats": shapes["batch_stats"]},
-            jnp.zeros((1, 64, 64, 3)), train=False))
+        lambda v, x: model.apply(v, x, train=False),
+        {"params": shapes["params"], "batch_stats": shapes["batch_stats"]},
+        jnp.zeros((1, 64, 64, 3)))
     assert out.shape == (1, 64, 64, 3)
 
 

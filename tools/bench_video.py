@@ -23,6 +23,7 @@ def main():
     n_frames = int(sys.argv[1]) if len(sys.argv) > 1 else 240
     size = int(sys.argv[2]) if len(sys.argv) > 2 else 448
     batch = int(sys.argv[3]) if len(sys.argv) > 3 else 16
+    transfer = sys.argv[4] if len(sys.argv) > 4 else "rgb"
 
     import numpy as np
     import jax
@@ -61,12 +62,12 @@ def main():
     out = render_fake_video(video, cfg.checkpoint_dir, "a", width=size,
                             height=size, output_path=tmp / "out.mp4",
                             batch_size=batch, progress=False,
-                            stats_out=stats)
+                            transfer=transfer, stats_out=stats)
     elapsed = time.perf_counter() - t0
     assert out.exists()
     fps = n_frames / elapsed
     print(json.dumps({
-        "metric": f"video_swap_end_to_end_{size}px",
+        "metric": f"video_swap_end_to_end_{size}px_{transfer}",
         "value": round(fps, 1), "unit": "fps",
         "steady_fps": round(stats.get("steady_fps", 0.0), 1),
         "n_frames": n_frames, "batch": batch,
