@@ -167,41 +167,97 @@ class LoopContext:
                  states=None, rng=None) -> None:
         self._raise_if_diverged(states, rng)
         step = self.global_step
-        if step % self.cfg.log_every_n_steps == 0:
+        due = step % self.cfg.log_every_n_steps == 0
+        if due or images:
             # Hand the DEVICE arrays to the worker; the fetch barrier runs
             # off-thread, overlapped with the next steps' device work.
-            self._metric_q.put((step, float(self.epoch), metrics))
-        if images and self.primary:
-            # Image panels are wall-clock throttled (>=10 s apart), so a
-            # synchronous fetch here is off the steady-state hot path.
-            for tag, batch in _host_local(images).items():
-                self.tb.log_batch_as_image_grid(tag, batch, step)
+            # Image panels ride the same queue: on this tunnel one panel set
+            # is tens of MB (seconds of link time), and the early cadence
+            # logs every 10 s — a synchronous fetch would stall the loop.
+            self._metric_q.put((step, float(self.epoch),
+                                metrics if due else None,
+                                images if self.primary else None))
 
     # -------------------------------------------------- async scalar worker
 
     def _metric_worker(self) -> None:
         while True:
-            item = self._metric_q.get()
+            # Drain the backlog: all queued steps ride ONE stacked fetch, so
+            # when the loop outruns the tunnel the cost amortizes to ~2
+            # round trips per BATCH of logged steps, not per step.
+            items = [self._metric_q.get()]
+            while len(items) < 64:
+                try:
+                    items.append(self._metric_q.get_nowait())
+                except queue.Empty:
+                    break
+            stop = None in items
+            items = [it for it in items if it is not None]
             try:
-                if item is None:
-                    return
-                step, epoch, metrics = item
-                if self._diverged is not None:
-                    continue  # drain without logging past divergence
-                fetched = {k: float(v)
-                           for k, v in _host_local(metrics).items()}
-                bad = [k for k, v in fetched.items()
-                       if not math.isfinite(v)]
-                if bad:
-                    self._diverged = [step, bad]
-                    continue
-                fetched["epoch"] = epoch
-                if self.primary:
-                    self.tb.log_scalars(fetched, step)
+                if items and self._diverged is None:
+                    self._log_metric_items(items)
             except BaseException as e:  # surfaced on the main thread
                 self._worker_error = e
             finally:
-                self._metric_q.task_done()
+                for _ in items:
+                    self._metric_q.task_done()
+            if stop:
+                self._metric_q.task_done()  # the None sentinel
+                return
+
+    def _log_metric_items(self, items: list) -> None:
+        scalar_items = [(s, e, m) for s, e, m, _ in items if m is not None]
+        fetched_all = self._fetch_scalar_batch([m for _, _, m in scalar_items])
+        for (step, epoch, _), fetched in zip(scalar_items, fetched_all):
+            bad = [k for k, v in fetched.items() if not math.isfinite(v)]
+            if bad:
+                self._diverged = [step, bad]
+                return  # skip logging this and later queued steps
+            fetched["epoch"] = epoch
+            if self.primary:
+                self.tb.log_scalars(fetched, step)
+        for step, _, _, images in items:
+            if images:
+                for tag, batch in _host_local(images).items():
+                    self.tb.log_batch_as_image_grid(tag, batch, step)
+
+    @staticmethod
+    def _fetch_scalar_batch(metric_dicts: list[dict[str, Any]]
+                            ) -> list[dict[str, float]]:
+        """Fetch many dicts of device scalars with as few transfers as
+        possible.
+
+        Each value fetch is a full tunnel round trip (~1.5-3 ms) that also
+        occupies the link the prefetch uploads need, so K steps x M scalars
+        cost ~K*M round trips fetched naively. Single-process,
+        all-addressable metrics are stacked into ONE device vector (a cached
+        tiny program) and fetched once for the whole batch of steps;
+        multi-process (non-addressable leaves — stacking would raise) falls
+        back to per-leaf addressable-shard reads.
+        """
+        import jax.numpy as jnp
+
+        leaves = [x for m in metric_dicts for x in m.values()]
+        packable = (jax.process_count() == 1 and len(leaves) > 1 and all(
+            getattr(x, "ndim", None) == 0
+            and getattr(x, "is_fully_addressable", True) for x in leaves))
+        if packable:
+            import numpy as np
+
+            # Pad to a power-of-two operand count: XLA caches one concat
+            # program per bucket instead of one per distinct backlog length.
+            dev = [jnp.asarray(x, jnp.float32) for x in leaves]
+            bucket = 1 << (len(dev) - 1).bit_length()
+            dev += [dev[0]] * (bucket - len(dev))
+            packed = np.asarray(jnp.stack(dev))
+            out, i = [], 0
+            for m in metric_dicts:
+                out.append({k: float(packed[i + j])
+                            for j, k in enumerate(m.keys())})
+                i += len(m)
+            return out
+        return [{k: float(v) for k, v in _host_local(m).items()}
+                for m in metric_dicts]
 
     def drain_metrics(self, states=None, rng=None) -> None:
         """Block until queued scalar fetches finish; raise on divergence."""

@@ -50,6 +50,12 @@ def make_dataset(root: Path, n: int, size: int, seed: int = 0,
     return manifest
 
 
+class _Done(Exception):
+    """Raised by StepTimer to end the run right after the measurement —
+    skipping the final full-state checkpoint save (minutes on this
+    transfer-limited host) that a real run would do."""
+
+
 class StepTimer:
     """step_callback capturing value-barriered timestamps at two steps."""
 
@@ -66,12 +72,14 @@ class StepTimer:
                 self.t0 = time.perf_counter()
             else:
                 self.t1 = time.perf_counter()
+                raise _Done
 
     def seconds_per_step(self) -> float:
         return (self.t1 - self.t0) / (self.last - self.warm)
 
 
-def bench_e2e_denoiser(batch=256, size=64, steps=120, warm=20, n_images=1024):
+def bench_e2e_denoiser(batch=256, size=64, steps=120, warm=20, n_images=1024,
+                       log_every=1):
     from denoising_diffusion_deep_fake_tpu.config import (
         DenoiserConfig, config_from_dict)
     from denoising_diffusion_deep_fake_tpu.training.runners import fit_denoiser
@@ -85,12 +93,18 @@ def bench_e2e_denoiser(batch=256, size=64, steps=120, warm=20, n_images=1024):
             compute_dtype="bfloat16", noise_exponential_sampling_lambda=5.0,
             max_epochs=10_000, log_dir=str(tmp / "runs"),
             checkpoint_dir=str(tmp / "ckpt"),
+            log_every_n_steps=log_every,
+            handle_preemption=False,  # let a wrapping `timeout` really kill us
             last_checkpoint_min_interval_s=1e9))  # no mid-run epoch saves
         timer = StepTimer(warm, steps)
-        fit_denoiser(cfg, max_steps=steps, verbose=False, step_callback=timer)
+        try:
+            fit_denoiser(cfg, max_steps=steps, verbose=False, step_callback=timer)
+        except _Done:
+            pass
         dt = timer.seconds_per_step()
         print(json.dumps({
-            "metric": f"e2e_fit_denoiser_{size}px_b{batch}",
+            "metric": f"e2e_fit_denoiser_{size}px_b{batch}"
+                      + ("" if log_every == 1 else f"_log{log_every}"),
             "value": round(batch / dt, 1), "unit": "imgs/sec",
             "step_ms": round(dt * 1e3, 2)}), flush=True)
     finally:
@@ -115,10 +129,13 @@ def bench_e2e_swap(batch=16, size=448, steps=40, warm=8, n_images=128):
             encoder_name="resnet34", compute_dtype="bfloat16",
             noise_exponential_sampling_lambda=8.0, ema_update_after_step=0,
             max_epochs=10_000, log_dir=str(tmp / "runs"),
-            checkpoint_dir=str(tmp / "ckpt"),
+            checkpoint_dir=str(tmp / "ckpt"), handle_preemption=False,
             last_checkpoint_min_interval_s=1e9))
         timer = StepTimer(warm, steps)
-        fit_deep_fake(cfg, max_steps=steps, verbose=False, step_callback=timer)
+        try:
+            fit_deep_fake(cfg, max_steps=steps, verbose=False, step_callback=timer)
+        except _Done:
+            pass
         dt = timer.seconds_per_step()
         print(json.dumps({
             "metric": f"e2e_fit_swap_{size}px_b{batch}_two_models",
@@ -130,6 +147,9 @@ def bench_e2e_swap(batch=16, size=448, steps=40, warm=8, n_images=128):
 
 BENCHES = {
     "denoiser64": bench_e2e_denoiser,
+    # Logging-off control: if this matches denoiser64, scalar logging adds
+    # no per-step cost (the async worker absorbed the fetch barrier).
+    "denoiser64_nolog": lambda: bench_e2e_denoiser(log_every=1_000_000),
     "swap448": bench_e2e_swap,
 }
 

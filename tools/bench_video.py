@@ -47,12 +47,17 @@ def main():
             # cheap motion: roll the frame so the codec has work to do
             writer.write(np.roll(frame, i * 3, axis=1))
 
-    # Fresh swap-mode checkpoint (weights random — throughput is shape-bound).
+    # Fresh checkpoint (weights random — throughput is shape-bound). Init at
+    # 64² in denoise mode: params are resolution-independent (fully conv)
+    # and the video path loads one model's weights only, so this cuts bench
+    # SETUP from ~7 min (two 448² on-device inits + ~600 MB state fetch over
+    # the ~20 MB/s tunnel) to under a minute without changing what is
+    # measured.
     cfg = config_from_dict(DeepFakeConfig, dict(
-        mode="swap", data_path_a="x", data_path_b="y", batch_size=batch,
+        mode="denoise", data_path_a="x", data_path_b="y", batch_size=batch,
         encoder_name="resnet34", compute_dtype="bfloat16", image_size=size,
         checkpoint_dir=str(tmp / "ckpt")), validate=False)
-    trainer = DeepFakeTrainer(cfg, steps_per_epoch=1, image_size=size)
+    trainer = DeepFakeTrainer(cfg, steps_per_epoch=1, image_size=64)
     states = trainer.init_states(jax.random.PRNGKey(0))
     CheckpointManager(cfg.checkpoint_dir).save(0, states,
                                                config_to_dict(cfg))
@@ -69,10 +74,12 @@ def main():
     print(json.dumps({
         "metric": f"video_swap_end_to_end_{size}px_{transfer}",
         "value": round(fps, 1), "unit": "fps",
-        "steady_fps": round(stats.get("steady_fps", 0.0), 1),
+        "steady_fps_dispatch": round(stats.get("steady_fps", 0.0), 1),
+        "delivered_fps": round(stats.get("delivered_fps", 0.0), 1),
+        "first_batch_s": round(stats.get("first_batch_s", 0.0), 1),
         "n_frames": n_frames, "batch": batch,
-        "vs_24fps_target": round(stats.get("steady_fps", fps) / 24.0, 2),
-        "note": "total fps includes restore+compile; steady excludes them",
+        "vs_24fps_target": round(stats.get("delivered_fps", fps) / 24.0, 2),
+        "note": "delivered_fps = fetched+encoded frames/s after the compile batch",
     }))
 
 
