@@ -31,10 +31,34 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from denoising_diffusion_deep_fake_tpu.models.mobilenet import (
+    MobileNetV2Encoder,
+)
 from denoising_diffusion_deep_fake_tpu.models.resnet import (
     RESNET_SPECS,
     ResNetEncoder,
 )
+from denoising_diffusion_deep_fake_tpu.models.vgg import VGG_SPECS, VGGEncoder
+
+
+def make_encoder(encoder_name: str, in_channels: int = 3) -> nn.Module:
+    """Encoder factory over every supported smp encoder family.
+
+    All encoders share one contract: ``encoder(x, train)`` returns a
+    six-level feature pyramid at strides (1, 2, 4, 8, 16, 32) whose first
+    level the decoder drops (smp ``UnetDecoder.forward``'s ``features[1:]``).
+    """
+    if encoder_name in RESNET_SPECS:
+        return ResNetEncoder(encoder_name=encoder_name,
+                             in_channels=in_channels, name="encoder")
+    if encoder_name in VGG_SPECS:
+        return VGGEncoder(encoder_name=encoder_name,
+                          in_channels=in_channels, name="encoder")
+    if encoder_name == "mobilenet_v2":
+        return MobileNetV2Encoder(in_channels=in_channels, name="encoder")
+    raise ValueError(
+        f"unsupported encoder_name {encoder_name!r}; available: "
+        f"{sorted(RESNET_SPECS) + sorted(VGG_SPECS) + ['mobilenet_v2']}")
 
 # smp initialize_decoder: kaiming_uniform_(mode="fan_in", nonlinearity="relu")
 _decoder_init = nn.initializers.variance_scaling(2.0, "fan_in", "uniform")
@@ -92,13 +116,21 @@ class Unet(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = True) -> jax.Array:
-        features = ResNetEncoder(encoder_name=self.encoder_name,
-                                 in_channels=self.in_channels,
-                                 name="encoder")(x.astype(self.dtype), train)
+        features = make_encoder(self.encoder_name, self.in_channels)(
+            x.astype(self.dtype), train)
         # smp UnetDecoder: head = deepest feature; skips are the shallower
         # pyramid levels in reverse, excluding the raw input.
         head, skips = features[-1], features[1:-1][::-1]
         y = head
+        if self.encoder_name.startswith("vgg"):
+            # smp Unet sets center=True for vgg encoders: a CenterBlock of
+            # two Conv2dReLU at head channels runs before the decoder
+            # (smp decoders/unet/model.py `center=encoder_name.startswith
+            # ("vgg")`; CenterBlock(head_channels, head_channels)).
+            y = Conv2dReLU(y.shape[-1], dtype=self.dtype,
+                           name="center_conv1")(y, train)
+            y = Conv2dReLU(y.shape[-1], dtype=self.dtype,
+                           name="center_conv2")(y, train)
         for i, ch in enumerate(self.decoder_channels):
             skip = skips[i] if i < len(skips) else None
             y = DecoderBlock(ch, dtype=self.dtype, name=f"decoder_block{i}")(
@@ -113,9 +145,6 @@ def create_unet(encoder_name: str = "resnet34", *, in_channels: int = 3,
                 classes: int = 3, dtype: Any = jnp.float32) -> Unet:
     """Factory mirroring the reference's ``create_model_instance``
     (`/root/reference/d3f/train_deep_fake/lit_module.py:49-60`)."""
-    if encoder_name not in RESNET_SPECS:
-        raise ValueError(
-            f"unsupported encoder_name {encoder_name!r}; "
-            f"available: {sorted(RESNET_SPECS)}")
+    make_encoder(encoder_name, in_channels)  # raise early on unknown names
     return Unet(encoder_name=encoder_name, in_channels=in_channels,
                 classes=classes, dtype=dtype)

@@ -50,11 +50,19 @@ def convert_smp_unet_state_dict(sd: dict[str, np.ndarray]) -> tuple[dict, dict]:
     params: dict = {}
     stats: dict = {}
     unused = []
+    # VGG encoders interleave convs (which have biases) and BNs in one flat
+    # ``features`` list — which indices are BNs is only visible from their
+    # running stats, so scan once up front.
+    vgg_bn_indices = {p[2] for k in sd
+                      if (p := k.split("."))[0] == "encoder"
+                      and len(p) == 4 and p[1] == "features"
+                      and p[3] == "running_mean"}
     for name, value in sd.items():
         parts = name.split(".")
         if parts[-1] == "num_batches_tracked":
             continue
-        handled = _convert_entry(parts, np.asarray(value), params, stats)
+        handled = _convert_entry(parts, np.asarray(value), params, stats,
+                                 vgg_bn_indices)
         if not handled:
             unused.append(name)
     if unused:
@@ -64,11 +72,15 @@ def convert_smp_unet_state_dict(sd: dict[str, np.ndarray]) -> tuple[dict, dict]:
 
 
 def _convert_entry(parts: list[str], value: np.ndarray, params: dict,
-                   stats: dict) -> bool:
+                   stats: dict, vgg_bn_indices: set | frozenset = frozenset()
+                   ) -> bool:
     leaf = parts[-1]
 
     # ---- encoder ----
     if parts[0] == "encoder":
+        if parts[1] == "features":
+            return _features_entry(parts, leaf, value, params, stats,
+                                   vgg_bn_indices)
         if parts[1] == "conv1" and leaf == "weight":
             _set(params, ["encoder", "conv1", "kernel"], _conv_kernel(value))
             return True
@@ -96,6 +108,16 @@ def _convert_entry(parts: list[str], value: np.ndarray, params: dict,
         return False
 
     # ---- decoder ----
+    if parts[0] == "decoder" and parts[1] == "center":
+        # vgg-only CenterBlock: decoder.center.<i>.{0,1}.<leaf> with i the
+        # Conv2dReLU index (0|1), 0=conv / 1=bn -> center_conv{i+1}/{conv,bn}.
+        block = f"center_conv{int(parts[2]) + 1}"
+        if parts[3] == "0" and leaf == "weight":
+            _set(params, [block, "conv", "kernel"], _conv_kernel(value))
+            return True
+        if parts[3] == "1":
+            return _bn_entry([block, "bn"], leaf, value, params, stats)
+        return False
     if parts[0] == "decoder" and parts[1] == "blocks":
         block = f"decoder_block{parts[2]}"
         conv_block = parts[3]  # conv1 | conv2
@@ -117,6 +139,65 @@ def _convert_entry(parts: list[str], value: np.ndarray, params: dict,
         if leaf == "bias":
             _set(params, ["segmentation_head", "bias"], value)
             return True
+    return False
+
+
+def _features_entry(parts: list[str], leaf: str, value: np.ndarray,
+                    params: dict, stats: dict,
+                    vgg_bn_indices: set | frozenset) -> bool:
+    """``encoder.features.*`` keys: VGG's flat conv/bn list and
+    MobileNetV2's stem/InvertedResidual/head Sequentials.
+
+    Flax module names mirror the torchvision indices (``features_{i}``,
+    ``conv_{k}[_{j}]`` — see models/vgg.py and models/mobilenet.py), so this
+    is a mechanical rename plus the usual OIHW->HWIO kernel transpose.
+    """
+    idx = parts[2]
+    block = f"features_{idx}"
+
+    # VGG: encoder.features.<i>.<leaf> — conv (weight+bias) or BN, telling
+    # them apart only by whether index <i> carries running stats.
+    if len(parts) == 4:
+        if idx in vgg_bn_indices:
+            return _bn_entry(["encoder", block], leaf, value, params, stats)
+        if leaf == "weight":
+            _set(params, ["encoder", block, "kernel"], _conv_kernel(value))
+            return True
+        if leaf == "bias":
+            _set(params, ["encoder", block, "bias"], value)
+            return True
+        return False
+
+    # MobileNetV2 stem/head ConvBNReLU: encoder.features.<i>.{0,1}.<leaf>.
+    if len(parts) == 5 and parts[3] in ("0", "1"):
+        if parts[3] == "0" and leaf == "weight":
+            _set(params, ["encoder", block, "0", "kernel"],
+                 _conv_kernel(value))
+            return True
+        if parts[3] == "1":
+            return _bn_entry(["encoder", block, "1"], leaf, value, params,
+                             stats)
+        return False
+
+    # MobileNetV2 InvertedResidual: encoder.features.<i>.conv.<k>[.<j>].<leaf>
+    if parts[3] == "conv":
+        k = parts[4]
+        if len(parts) == 7:  # ConvBNReLU pair inside the block Sequential
+            if parts[5] == "0" and leaf == "weight":
+                _set(params, ["encoder", block, f"conv_{k}_0", "kernel"],
+                     _conv_kernel(value))
+                return True
+            if parts[5] == "1":
+                return _bn_entry(["encoder", block, f"conv_{k}_1"], leaf,
+                                 value, params, stats)
+            return False
+        if len(parts) == 6:  # bare linear-projection conv or its BN
+            if leaf == "weight" and value.ndim == 4:
+                _set(params, ["encoder", block, f"conv_{k}", "kernel"],
+                     _conv_kernel(value))
+                return True
+            return _bn_entry(["encoder", block, f"conv_{k}"], leaf, value,
+                             params, stats)
     return False
 
 

@@ -36,7 +36,7 @@ def _smp_named_state_dict(model) -> dict:
             li, bi, rest = int(parts[2]), parts[3], ".".join(parts[4:])
             rest = rest.replace("down.", "downsample.")
             name = f"encoder.layer{li + 1}.{bi}.{rest}"
-        elif name.startswith("blocks."):
+        elif name.startswith("blocks.") or name.startswith("center."):
             name = "decoder." + name
         elif name.startswith("head."):
             name = name.replace("head.", "segmentation_head.0.")
@@ -51,7 +51,8 @@ def psnr(a: np.ndarray, b: np.ndarray, peak: float) -> float:
     return 10.0 * np.log10(peak ** 2 / mse) if mse > 0 else np.inf
 
 
-@pytest.fixture(scope="module", params=["resnet34", "resnet50"])
+@pytest.fixture(scope="module",
+                params=["resnet34", "resnet50", "vgg11_bn", "mobilenet_v2"])
 def models(request):
     from torch_cpu_baseline import UnetSMP
 

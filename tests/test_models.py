@@ -127,6 +127,48 @@ def test_extended_encoder_family_builds(name):
     assert out.shape == (1, 64, 64, 3)
 
 
+@pytest.mark.parametrize("name", ["vgg11", "vgg13", "vgg16", "vgg19",
+                                  "vgg11_bn", "vgg13_bn", "vgg16_bn",
+                                  "vgg19_bn", "mobilenet_v2"])
+def test_vgg_mobilenet_unet_builds(name):
+    """vgg/mobilenet encoder families build the right smp-Unet topology
+    (tracing only). vgg variants must carry the smp CenterBlock
+    (`center=True if encoder_name.startswith("vgg")` in smp Unet.__init__)."""
+    model = create_unet(name)
+    shapes = jax.eval_shape(
+        lambda: model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 64, 64, 3)), train=False))
+    has_center = "center_conv1" in shapes["params"]
+    assert has_center == name.startswith("vgg")
+    if has_center:
+        assert shapes["params"]["center_conv1"]["conv"]["kernel"].shape == \
+            (3, 3, 512, 512)
+    out = jax.eval_shape(
+        lambda v, x: model.apply(v, x, train=False),
+        {"params": shapes["params"], "batch_stats": shapes["batch_stats"]},
+        jnp.zeros((1, 64, 64, 3)))
+    assert out.shape == (1, 64, 64, 3)
+
+
+@pytest.mark.parametrize("name,expected", [
+    # Pinned to the torch replica (tools/torch_cpu_baseline.UnetSMP), whose
+    # per-family wiring is audited key-by-key against smp in docs/PARITY.md.
+    # vgg counts include the 4,720,640-param CenterBlock.
+    ("vgg11", 18_254_323),
+    ("vgg16", 23_748_531),
+    ("vgg19", 29_058_227),
+    ("vgg16_bn", 23_756_979),
+    ("mobilenet_v2", 6_629_235),
+])
+def test_vgg_mobilenet_param_count(name, expected):
+    model = create_unet(name)
+    shapes = jax.eval_shape(
+        lambda: model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 64, 64, 3)), train=False))
+    n = sum(int(np.prod(x.shape)) for x in jax.tree.leaves(shapes["params"]))
+    assert n == expected, (name, n)
+
+
 @pytest.mark.parametrize("name", ["resnet50", "resnext50_32x4d",
                                   "wide_resnet50_2"])
 def test_extended_encoder_param_count_matches_torch(name):

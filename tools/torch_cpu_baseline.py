@@ -118,6 +118,109 @@ class ResnetEncoder(nn.Module):
 Resnet34Encoder = ResnetEncoder  # back-compat alias
 
 
+# Mirrors models/vgg.py _VGG_LAYOUTS (torchvision cfgs A/B/D/E).
+VGG_LAYOUTS = {
+    "vgg11": (64, "M", 128, "M", 256, 256, "M", 512, 512, "M", 512, 512, "M"),
+    "vgg13": (64, 64, "M", 128, 128, "M", 256, 256, "M", 512, 512, "M",
+              512, 512, "M"),
+    "vgg16": (64, 64, "M", 128, 128, "M", 256, 256, 256, "M",
+              512, 512, 512, "M", 512, 512, 512, "M"),
+    "vgg19": (64, 64, "M", 128, 128, "M", 256, 256, 256, 256, "M",
+              512, 512, 512, 512, "M", 512, 512, 512, 512, "M"),
+}
+
+
+class VGGEncoder(nn.Module):
+    """torchvision VGG ``features`` with smp get_stages slicing: the six
+    stage outputs are the pre-pool activations plus the final pooled map."""
+
+    def __init__(self, name="vgg16"):
+        super().__init__()
+        base, _, bn = name.partition("_")
+        layers, cin = [], 3
+        for v in VGG_LAYOUTS[base]:
+            if v == "M":
+                layers.append(nn.MaxPool2d(2, 2))
+                continue
+            layers.append(nn.Conv2d(cin, v, 3, padding=1))
+            if bn == "bn":
+                layers.append(nn.BatchNorm2d(v))
+            layers.append(nn.ReLU(inplace=True))
+            cin = v
+        self.features = nn.Sequential(*layers)
+        self.out_channels = (64, 128, 256, 512, 512, 512)
+
+    def forward(self, x):
+        feats = []
+        for m in self.features:
+            if isinstance(m, nn.MaxPool2d):
+                feats.append(x)
+            x = m(x)
+        feats.append(x)
+        return feats
+
+
+class ConvBNReLU6(nn.Sequential):
+    def __init__(self, cin, cout, k=3, stride=1, groups=1):
+        super().__init__(
+            nn.Conv2d(cin, cout, k, stride, (k - 1) // 2, groups=groups,
+                      bias=False),
+            nn.BatchNorm2d(cout), nn.ReLU6(inplace=True))
+
+
+class InvertedResidual(nn.Module):
+    def __init__(self, cin, cout, stride, t):
+        super().__init__()
+        hidden = int(round(cin * t))
+        self.use_res = stride == 1 and cin == cout
+        layers = [] if t == 1 else [ConvBNReLU6(cin, hidden, k=1)]
+        layers += [ConvBNReLU6(hidden, hidden, stride=stride, groups=hidden),
+                   nn.Conv2d(hidden, cout, 1, bias=False),
+                   nn.BatchNorm2d(cout)]
+        self.conv = nn.Sequential(*layers)
+
+    def forward(self, x):
+        y = self.conv(x)
+        return x + y if self.use_res else y
+
+
+class MobileNetV2Encoder(nn.Module):
+    """torchvision MobileNetV2 ``features`` with smp stage slicing
+    ``[x, :2, 2:4, 4:7, 7:14, 14:]`` (see models/mobilenet.py)."""
+
+    _SETTING = ((1, 16, 1, 1), (6, 24, 2, 2), (6, 32, 3, 2), (6, 64, 4, 2),
+                (6, 96, 3, 1), (6, 160, 3, 2), (6, 320, 1, 1))
+
+    def __init__(self, name="mobilenet_v2"):
+        super().__init__()
+        feats, cin = [ConvBNReLU6(3, 32, stride=2)], 32
+        for t, c, n, s in self._SETTING:
+            for i in range(n):
+                feats.append(InvertedResidual(cin, c, s if i == 0 else 1, t))
+                cin = c
+        feats.append(ConvBNReLU6(cin, 1280, k=1))
+        self.features = nn.Sequential(*feats)
+        self.out_channels = (3, 16, 24, 32, 96, 1280)
+
+    def forward(self, x):
+        feats, y = [x], x
+        for i, m in enumerate(self.features):
+            y = m(y)
+            if i in (1, 3, 6, 13, 18):
+                feats.append(y)
+        return feats
+
+
+def make_encoder(name):
+    if name in ENCODER_SPECS:
+        return ResnetEncoder(name)
+    if name.partition("_")[0] in VGG_LAYOUTS:
+        return VGGEncoder(name)
+    if name == "mobilenet_v2":
+        return MobileNetV2Encoder(name)
+    raise ValueError(name)
+
+
 class DecoderBlock(nn.Module):
     def __init__(self, cin, skip, cout):
         super().__init__()
@@ -139,10 +242,15 @@ class UnetSMP(nn.Module):
     def __init__(self, encoder_name="resnet34",
                  decoder_channels=(256, 128, 64, 32, 16)):
         super().__init__()
-        self.encoder = ResnetEncoder(encoder_name)
+        self.encoder = make_encoder(encoder_name)
         enc = list(self.encoder.out_channels)[1:][::-1]
         ins = [enc[0]] + list(decoder_channels[:-1])
         skips = enc[1:] + [0]
+        # smp: center=True for vgg encoders — CenterBlock of two Conv2dReLU
+        # at head channels applied before the decoder.
+        self.center = (nn.Sequential(conv_bn_relu(enc[0], enc[0]),
+                                     conv_bn_relu(enc[0], enc[0]))
+                       if encoder_name.startswith("vgg") else nn.Identity())
         self.blocks = nn.ModuleList(
             [DecoderBlock(i, s, o)
              for i, s, o in zip(ins, skips, decoder_channels)])
@@ -151,7 +259,7 @@ class UnetSMP(nn.Module):
     def forward(self, x):
         feats = self.encoder(x)
         head, skip_feats = feats[-1], feats[1:-1][::-1]
-        y = head
+        y = self.center(head)
         for i, block in enumerate(self.blocks):
             y = block(y, skip_feats[i] if i < len(skip_feats) else None)
         return self.head(y)
