@@ -103,20 +103,41 @@ def device_prefetch(iterator, mesh: Mesh, *, depth: int = 2,
             if getattr(x, "ndim", 0) >= 3 else x, item)
 
     q: _queue.Queue = _queue.Queue(maxsize=depth)
+    stop = threading.Event()
+
+    def blocking_put(item) -> bool:
+        """put() that gives up when the consumer abandoned the generator."""
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.2)
+                return True
+            except _queue.Full:
+                continue
+        return False
 
     def worker():
         try:
             for item in iterator:
-                q.put(put(item))
-            q.put(None)
+                if stop.is_set() or not blocking_put(put(item)):
+                    return
+            blocking_put(None)
         except BaseException as e:
-            q.put(e)
+            blocking_put(e)
 
-    threading.Thread(target=worker, daemon=True).start()
-    while True:
-        item = q.get()
-        if item is None:
-            return
-        if isinstance(item, BaseException):
-            raise item
-        yield item
+    thread = threading.Thread(target=worker, daemon=True)
+    thread.start()
+    # The finally block runs on normal exhaustion AND on GeneratorExit (the
+    # consumer breaking out of its for-loop, e.g. max_steps): without it the
+    # worker stays blocked in q.put forever and dies mid-device-transfer at
+    # interpreter teardown ("FATAL: exception not rethrown" aborts).
+    try:
+        while True:
+            item = q.get()
+            if item is None:
+                return
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+    finally:
+        stop.set()
+        thread.join(timeout=10.0)

@@ -299,6 +299,25 @@ class LoopContext:
             self.ckpt.save(self.global_step, states, self.hparams, extra,
                            block=final)
 
+    def abort(self) -> None:
+        """Best-effort teardown for error paths: stop the worker and the
+        async checkpointer WITHOUT draining pending fetches or raising —
+        leaving these threads alive corrupts interpreter teardown (daemon
+        threads killed inside device transfers abort the process)."""
+        try:
+            if self.preemption is not None:
+                self.preemption.restore()
+            try:
+                self._metric_q.put_nowait(None)
+            except queue.Full:
+                pass  # worker is draining; it will see the backlog soon
+            self._metric_thread.join(timeout=10.0)
+            self.ckpt.wait_until_finished()
+            self.tb.flush()
+            self.tb.close()
+        except BaseException:
+            pass  # the original exception is what the caller must see
+
     def close(self) -> None:
         if self.preemption is not None:
             self.preemption.restore()

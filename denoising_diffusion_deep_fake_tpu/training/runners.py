@@ -15,6 +15,8 @@ XLA inserts the gradient all-reduces.
 
 from __future__ import annotations
 
+import contextlib
+
 import jax
 import numpy as np
 
@@ -79,6 +81,19 @@ def _spatial(cfg) -> bool:
     return getattr(cfg, "spatial_parallel", 1) > 1
 
 
+@contextlib.contextmanager
+def _abort_on_error(ctx: LoopContext):
+    """Tear the loop services down on ANY exception escaping the train loop
+    (divergence, a raising step_callback, KeyboardInterrupt): background
+    fetch/checkpoint threads must stop before interpreter teardown or the
+    process aborts inside a device transfer."""
+    try:
+        yield
+    except BaseException:
+        ctx.abort()
+        raise
+
+
 # ------------------------------------------------------------------ deep fake
 
 
@@ -135,38 +150,40 @@ def fit_deep_fake(cfg: DeepFakeConfig, *, resume_from: str | None = None,
     step_img = trainer.make_train_step(with_images=True, donate=False)
 
     done = False
-    for epoch in range(start_epoch, cfg.max_epochs):
-        ctx.epoch = epoch
-        for (batch_a, _), (batch_b, _) in device_prefetch(
-                paired.epoch(epoch), mesh, spatial=_spatial(cfg)):
-            # Per-step key derivation happens inside the jitted step (from
-            # state.step) — no host device-op per iteration; batch uploads
-            # happen ahead on the prefetch thread.
-            if ctx.want_images():
-                states, metrics, images = step_img(states, batch_a, batch_b,
-                                                   rng)
-                ctx.log_step(metrics, images, states=states, rng=rng)
-            else:
-                states, metrics = step_plain(states, batch_a, batch_b, rng)
-                ctx.log_step(metrics, states=states, rng=rng)
-            ctx.global_step += 1
-            if step_callback is not None:
-                step_callback(ctx.global_step, states, metrics)
-            ctx.maybe_checkpoint(states, rng)
-            if ctx.preempted():
-                if verbose and is_primary():
-                    print("preemption signal received — saving and exiting")
-                done = True
+    with _abort_on_error(ctx):
+        for epoch in range(start_epoch, cfg.max_epochs):
+            ctx.epoch = epoch
+            for (batch_a, _), (batch_b, _) in device_prefetch(
+                    paired.epoch(epoch), mesh, spatial=_spatial(cfg)):
+                # Per-step key derivation happens inside the jitted step
+                # (from state.step) — no host device-op per iteration; batch
+                # uploads happen ahead on the prefetch thread.
+                if ctx.want_images():
+                    states, metrics, images = step_img(states, batch_a,
+                                                       batch_b, rng)
+                    ctx.log_step(metrics, images, states=states, rng=rng)
+                else:
+                    states, metrics = step_plain(states, batch_a, batch_b,
+                                                 rng)
+                    ctx.log_step(metrics, states=states, rng=rng)
+                ctx.global_step += 1
+                if step_callback is not None:
+                    step_callback(ctx.global_step, states, metrics)
+                ctx.maybe_checkpoint(states, rng)
+                if ctx.preempted():
+                    if verbose and is_primary():
+                        print("preemption signal received — saving and exiting")
+                    done = True
+                    break
+                if max_steps is not None and ctx.global_step >= max_steps:
+                    done = True
+                    break
+            ctx.maybe_checkpoint(states, rng, force=True)  # 'last' each epoch
+            if done:
                 break
-            if max_steps is not None and ctx.global_step >= max_steps:
-                done = True
-                break
-        ctx.maybe_checkpoint(states, rng, force=True)  # 'last' per epoch end
-        if done:
-            break
 
-    ctx.maybe_checkpoint(states, rng, final=True)
-    ctx.close()
+        ctx.maybe_checkpoint(states, rng, final=True)
+        ctx.close()
     return states, trainer, ctx
 
 
@@ -196,34 +213,35 @@ def fit_denoiser(cfg: DenoiserConfig, *, max_steps: int | None = None,
     step_img = trainer.make_train_step(with_images=True, donate=False)
 
     done = False
-    for epoch in range(cfg.max_epochs):
-        ctx.epoch = epoch
-        for batch, _ in device_prefetch(loader.epoch(epoch), mesh,
-                                        spatial=_spatial(cfg)):
-            if ctx.want_images():
-                state, metrics, images = step_img(state, batch, rng)
-                ctx.log_step(metrics, images, states=state, rng=rng)
-            else:
-                state, metrics = step_plain(state, batch, rng)
-                ctx.log_step(metrics, states=state, rng=rng)
-            ctx.global_step += 1
-            if step_callback is not None:
-                step_callback(ctx.global_step, state, metrics)
-            ctx.maybe_checkpoint(state, rng)
-            if ctx.preempted():
-                if verbose and is_primary():
-                    print("preemption signal received — saving and exiting")
-                done = True
+    with _abort_on_error(ctx):
+        for epoch in range(cfg.max_epochs):
+            ctx.epoch = epoch
+            for batch, _ in device_prefetch(loader.epoch(epoch), mesh,
+                                            spatial=_spatial(cfg)):
+                if ctx.want_images():
+                    state, metrics, images = step_img(state, batch, rng)
+                    ctx.log_step(metrics, images, states=state, rng=rng)
+                else:
+                    state, metrics = step_plain(state, batch, rng)
+                    ctx.log_step(metrics, states=state, rng=rng)
+                ctx.global_step += 1
+                if step_callback is not None:
+                    step_callback(ctx.global_step, state, metrics)
+                ctx.maybe_checkpoint(state, rng)
+                if ctx.preempted():
+                    if verbose and is_primary():
+                        print("preemption signal received — saving and exiting")
+                    done = True
+                    break
+                if max_steps is not None and ctx.global_step >= max_steps:
+                    done = True
+                    break
+            ctx.maybe_checkpoint(state, rng, force=True)
+            if done:
                 break
-            if max_steps is not None and ctx.global_step >= max_steps:
-                done = True
-                break
-        ctx.maybe_checkpoint(state, rng, force=True)
-        if done:
-            break
 
-    ctx.maybe_checkpoint(state, rng, final=True)
-    ctx.close()
+        ctx.maybe_checkpoint(state, rng, final=True)
+        ctx.close()
     return state, trainer, ctx
 
 
@@ -259,48 +277,50 @@ def fit_balance(cfg: BalanceConfig, *, max_steps: int | None = None,
     step_img = trainer.make_train_step(with_images=True, donate=False)
 
     done = False
-    for epoch in range(cfg.max_epochs):
-        ctx.epoch = epoch
-        for batch, _ in device_prefetch(loader.epoch(epoch), mesh,
-                                        spatial=_spatial(cfg)):
-            if ctx.want_images():
-                state, metrics, images = step_img(state, batch, rng)
-                ctx.log_step(metrics, images, states=state, rng=rng)
-            else:
-                state, metrics = step_plain(state, batch, rng)
-                ctx.log_step(metrics, states=state, rng=rng)
-            ctx.global_step += 1
-            if step_callback is not None:
-                step_callback(ctx.global_step, state, metrics)
-            ctx.maybe_checkpoint(state, rng)
-            if ctx.preempted():
-                if verbose and is_primary():
-                    print("preemption signal received — saving and exiting")
-                done = True
-                break
-            if max_steps is not None and ctx.global_step >= max_steps:
-                done = True
+    with _abort_on_error(ctx):
+        for epoch in range(cfg.max_epochs):
+            ctx.epoch = epoch
+            for batch, _ in device_prefetch(loader.epoch(epoch), mesh,
+                                            spatial=_spatial(cfg)):
+                if ctx.want_images():
+                    state, metrics, images = step_img(state, batch, rng)
+                    ctx.log_step(metrics, images, states=state, rng=rng)
+                else:
+                    state, metrics = step_plain(state, batch, rng)
+                    ctx.log_step(metrics, states=state, rng=rng)
+                ctx.global_step += 1
+                if step_callback is not None:
+                    step_callback(ctx.global_step, state, metrics)
+                ctx.maybe_checkpoint(state, rng)
+                if ctx.preempted():
+                    if verbose and is_primary():
+                        print("preemption signal received — saving and exiting")
+                    done = True
+                    break
+                if max_steps is not None and ctx.global_step >= max_steps:
+                    done = True
+                    break
+
+            # Validation: per-image difficulty scores -> classes -> histogram.
+            # Validation keys live in a disjoint fold-in range from train
+            # steps. Data-sharded scoring when single-process; multi-process
+            # runs replicate each batch over the global mesh (every process
+            # holds the full dataset — see above) so the replicated state
+            # stays usable.
+            indices, losses = trainer.score_dataset(
+                state, val_loader,
+                jax.random.fold_in(rng, 2_000_000_000 + epoch), mesh=mesh)
+            classes = compute_difficulty_index(losses, cfg.number_of_classes)
+            if is_primary():
+                _log_difficulty_histogram(ctx, classes)
+                if cfg.output_image_list_path:
+                    write_balanced_manifest(cfg, val_loader, indices, classes)
+            ctx.maybe_checkpoint(state, rng, force=True)
+            if done:
                 break
 
-        # Validation: per-image difficulty scores -> classes -> histogram.
-        # Validation keys live in a disjoint fold-in range from train steps.
-        # Data-sharded scoring when single-process; multi-process runs
-        # replicate each batch over the global mesh (every process holds the
-        # full dataset — see above) so the replicated state stays usable.
-        indices, losses = trainer.score_dataset(
-            state, val_loader, jax.random.fold_in(rng, 2_000_000_000 + epoch),
-            mesh=mesh)
-        classes = compute_difficulty_index(losses, cfg.number_of_classes)
-        if is_primary():
-            _log_difficulty_histogram(ctx, classes)
-            if cfg.output_image_list_path:
-                write_balanced_manifest(cfg, val_loader, indices, classes)
-        ctx.maybe_checkpoint(state, rng, force=True)
-        if done:
-            break
-
-    ctx.maybe_checkpoint(state, rng, final=True)
-    ctx.close()
+        ctx.maybe_checkpoint(state, rng, final=True)
+        ctx.close()
     return state, trainer, ctx
 
 
