@@ -57,3 +57,16 @@ def test_bf16_stability():
                       r_start=0.999)
     assert out.dtype == jnp.bfloat16
     assert np.isfinite(np.asarray(out, dtype=np.float32)).all()
+
+
+def test_clip_bounds_amplifying_predictor():
+    """A predictor that amplifies (f = 3x) explodes raw DDIM exponentially;
+    the default data-range clip keeps every iterate bounded (DDPM-style
+    static thresholding — see ddim_sample docstring)."""
+    x = jax.random.normal(jax.random.PRNGKey(6), (1, 8, 8, 3)) * 0.5
+    ratios = ddim_ratio_schedule(30, r_start=0.7)
+    amplify = lambda z: 3.0 * z
+    raw = ddim_sample(amplify, x, ratios, clip=None)
+    clipped = ddim_sample(amplify, x, ratios)
+    assert float(jnp.abs(raw).max()) > 50  # the blow-up clip prevents
+    assert float(jnp.abs(clipped).max()) <= 3.0 + 1e-5  # last f(x) of |x|<=1
