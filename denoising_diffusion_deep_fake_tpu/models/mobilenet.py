@@ -29,7 +29,7 @@ decoder convs this encoder feeds.
 
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Any, Sequence
 
 import flax.linen as nn
 import jax
@@ -55,9 +55,10 @@ def _relu6(x: jax.Array) -> jax.Array:
     return jnp.minimum(nn.relu(x), 6.0)
 
 
-def _bn(name: str, train: bool) -> nn.BatchNorm:
+def _bn(name: str, train: bool, dtype=jnp.float32) -> nn.BatchNorm:
+    # Stats always fp32 (flax promotes); dtype sets only the output dtype.
     return nn.BatchNorm(name=name, use_running_average=not train,
-                        momentum=0.9, epsilon=1e-5, dtype=jnp.float32)
+                        momentum=0.9, epsilon=1e-5, dtype=dtype)
 
 
 class _ConvBNReLU6(nn.Module):
@@ -66,6 +67,7 @@ class _ConvBNReLU6(nn.Module):
     features: int
     kernel: int = 3
     strides: int = 1
+    dtype: Any = jnp.float32
     # Names of the conv/bn children match the torch Sequential indices.
     conv_name: str = "0"
     bn_name: str = "1"
@@ -75,8 +77,8 @@ class _ConvBNReLU6(nn.Module):
         pad = (self.kernel - 1) // 2
         y = nn.Conv(self.features, (self.kernel,) * 2,
                     strides=(self.strides,) * 2, padding=pad, use_bias=False,
-                    kernel_init=_conv_init, name=self.conv_name)(x)
-        return _relu6(_bn(self.bn_name, train)(y))
+                    kernel_init=_conv_init, dtype=self.dtype, name=self.conv_name)(x)
+        return _relu6(_bn(self.bn_name, train, self.dtype)(y))
 
 
 class InvertedResidual(nn.Module):
@@ -85,6 +87,7 @@ class InvertedResidual(nn.Module):
     features: int
     strides: int = 1
     expand_ratio: int = 6
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool) -> jax.Array:
@@ -95,19 +98,19 @@ class InvertedResidual(nn.Module):
         idx = 0
         if self.expand_ratio != 1:
             y = nn.Conv(hidden, (1, 1), use_bias=False,
-                        kernel_init=_conv_init, name=f"conv_{idx}_0")(y)
-            y = _relu6(_bn(f"conv_{idx}_1", train)(y))
+                        kernel_init=_conv_init, dtype=self.dtype, name=f"conv_{idx}_0")(y)
+            y = _relu6(_bn(f"conv_{idx}_1", train, self.dtype)(y))
             idx += 1
         # Depthwise 3x3.
         y = nn.Conv(hidden, (3, 3), strides=(self.strides,) * 2, padding=1,
                     feature_group_count=hidden, use_bias=False,
-                    kernel_init=_conv_init, name=f"conv_{idx}_0")(y)
-        y = _relu6(_bn(f"conv_{idx}_1", train)(y))
+                    kernel_init=_conv_init, dtype=self.dtype, name=f"conv_{idx}_0")(y)
+        y = _relu6(_bn(f"conv_{idx}_1", train, self.dtype)(y))
         idx += 1
         # Linear 1x1 projection.
         y = nn.Conv(self.features, (1, 1), use_bias=False,
-                    kernel_init=_conv_init, name=f"conv_{idx}")(y)
-        y = _bn(f"conv_{idx + 1}", train)(y)
+                    kernel_init=_conv_init, dtype=self.dtype, name=f"conv_{idx}")(y)
+        y = _bn(f"conv_{idx + 1}", train, self.dtype)(y)
         return x + y if use_residual else y
 
 
@@ -121,6 +124,7 @@ class MobileNetV2Encoder(nn.Module):
 
     encoder_name: str = "mobilenet_v2"
     in_channels: int = 3
+    dtype: Any = jnp.float32  # conv compute dtype; BN normalization stays fp32
 
     @property
     def out_channels(self) -> Sequence[int]:
@@ -130,16 +134,18 @@ class MobileNetV2Encoder(nn.Module):
     def __call__(self, x: jax.Array, train: bool = True) -> list[jax.Array]:
         features = [x]
         boundaries = {1, 3, 6, 13}  # smp slice ends (stage 5 = through 18)
-        y = _ConvBNReLU6(32, kernel=3, strides=2, name="features_0")(x, train)
+        y = _ConvBNReLU6(32, kernel=3, strides=2, dtype=self.dtype,
+                         name="features_0")(x, train)
         idx = 1
         for t, c, n, s in _INVERTED_RESIDUAL_SETTING:
             for block in range(n):
                 y = InvertedResidual(c, strides=s if block == 0 else 1,
-                                     expand_ratio=t,
+                                     expand_ratio=t, dtype=self.dtype,
                                      name=f"features_{idx}")(y, train)
                 if idx in boundaries:
                     features.append(y)
                 idx += 1
-        y = _ConvBNReLU6(1280, kernel=1, name=f"features_{idx}")(y, train)
+        y = _ConvBNReLU6(1280, kernel=1, dtype=self.dtype,
+                         name=f"features_{idx}")(y, train)
         features.append(y)
         return features

@@ -23,7 +23,7 @@ straight through, `lit_module.py:53-59`).
 
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Any, Sequence
 
 import flax.linen as nn
 import jax
@@ -65,9 +65,13 @@ RESNET_SPECS = {
 _conv_init = nn.initializers.variance_scaling(2.0, "fan_out", "normal")
 
 
-def _bn(name: str, train: bool):
+def _bn(name: str, train: bool, dtype=jnp.float32):
+    # flax BatchNorm computes batch statistics in fp32 regardless of dtype
+    # (flax _compute_stats promotes); dtype only sets the OUTPUT dtype, so
+    # bf16 here halves the materialized activation bytes without degrading
+    # the normalization math.
     return nn.BatchNorm(name=name, use_running_average=not train,
-                        momentum=0.9, epsilon=1e-5, dtype=jnp.float32)
+                        momentum=0.9, epsilon=1e-5, dtype=dtype)
 
 
 class BasicBlock(nn.Module):
@@ -75,24 +79,25 @@ class BasicBlock(nn.Module):
 
     features: int
     strides: int = 1
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool) -> jax.Array:
         residual = x
         y = nn.Conv(self.features, (3, 3), strides=(self.strides,) * 2,
-                    padding=1, use_bias=False, kernel_init=_conv_init,
+                    padding=1, use_bias=False, kernel_init=_conv_init, dtype=self.dtype,
                     name="conv1")(x)
-        y = _bn("bn1", train)(y)
+        y = _bn("bn1", train, self.dtype)(y)
         y = nn.relu(y)
         y = nn.Conv(self.features, (3, 3), padding=1, use_bias=False,
-                    kernel_init=_conv_init, name="conv2")(y)
-        y = _bn("bn2", train)(y)
+                    kernel_init=_conv_init, dtype=self.dtype, name="conv2")(y)
+        y = _bn("bn2", train, self.dtype)(y)
         if self.strides != 1 or x.shape[-1] != self.features:
             residual = nn.Conv(self.features, (1, 1),
                                strides=(self.strides,) * 2, use_bias=False,
-                               kernel_init=_conv_init,
+                               kernel_init=_conv_init, dtype=self.dtype,
                                name="downsample_conv")(x)
-            residual = _bn("downsample_bn", train)(residual)
+            residual = _bn("downsample_bn", train, self.dtype)(residual)
         return nn.relu(y + residual)
 
 
@@ -109,6 +114,7 @@ class Bottleneck(nn.Module):
     expansion: int = 4
     groups: int = 1
     base_width: int = 64
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool) -> jax.Array:
@@ -116,20 +122,20 @@ class Bottleneck(nn.Module):
         out = self.features * self.expansion
         residual = x
         y = nn.Conv(width, (1, 1), use_bias=False,
-                    kernel_init=_conv_init, name="conv1")(x)
-        y = nn.relu(_bn("bn1", train)(y))
+                    kernel_init=_conv_init, dtype=self.dtype, name="conv1")(x)
+        y = nn.relu(_bn("bn1", train, self.dtype)(y))
         y = nn.Conv(width, (3, 3), strides=(self.strides,) * 2,
-                    padding=1, use_bias=False, kernel_init=_conv_init,
+                    padding=1, use_bias=False, kernel_init=_conv_init, dtype=self.dtype,
                     feature_group_count=self.groups, name="conv2")(y)
-        y = nn.relu(_bn("bn2", train)(y))
-        y = nn.Conv(out, (1, 1), use_bias=False, kernel_init=_conv_init,
+        y = nn.relu(_bn("bn2", train, self.dtype)(y))
+        y = nn.Conv(out, (1, 1), use_bias=False, kernel_init=_conv_init, dtype=self.dtype,
                     name="conv3")(y)
-        y = _bn("bn3", train)(y)
+        y = _bn("bn3", train, self.dtype)(y)
         if self.strides != 1 or x.shape[-1] != out:
             residual = nn.Conv(out, (1, 1), strides=(self.strides,) * 2,
-                               use_bias=False, kernel_init=_conv_init,
+                               use_bias=False, kernel_init=_conv_init, dtype=self.dtype,
                                name="downsample_conv")(x)
-            residual = _bn("downsample_bn", train)(residual)
+            residual = _bn("downsample_bn", train, self.dtype)(residual)
         return nn.relu(y + residual)
 
 
@@ -141,6 +147,7 @@ class ResNetEncoder(nn.Module):
 
     encoder_name: str = "resnet34"
     in_channels: int = 3
+    dtype: Any = jnp.float32  # conv compute dtype; BN normalization stays fp32
 
     @property
     def out_channels(self) -> Sequence[int]:
@@ -154,8 +161,8 @@ class ResNetEncoder(nn.Module):
 
         features = [x]
         y = nn.Conv(64, (7, 7), strides=(2, 2), padding=3, use_bias=False,
-                    kernel_init=_conv_init, name="conv1")(x)
-        y = nn.relu(_bn("bn1", train)(y))
+                    kernel_init=_conv_init, dtype=self.dtype, name="conv1")(x)
+        y = nn.relu(_bn("bn1", train, self.dtype)(y))
         features.append(y)
 
         # torch MaxPool2d(kernel_size=3, stride=2, padding=1); -inf padding so
@@ -169,12 +176,12 @@ class ResNetEncoder(nn.Module):
                 name = f"layer{stage_idx + 1}_{block_idx}"
                 if spec.kind == "basic":
                     y = BasicBlock(features=width, strides=strides,
-                                   name=name)(y, train)
+                                   dtype=self.dtype, name=name)(y, train)
                 else:
                     y = Bottleneck(features=width, strides=strides,
                                    expansion=spec.expansion,
                                    groups=spec.groups,
                                    base_width=spec.base_width,
-                                   name=name)(y, train)
+                                   dtype=self.dtype, name=name)(y, train)
             features.append(y)
         return features

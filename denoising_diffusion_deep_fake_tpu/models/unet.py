@@ -31,6 +31,14 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from denoising_diffusion_deep_fake_tpu.models.densenet import (
+    DENSENET_SPECS,
+    DenseNetEncoder,
+)
+from denoising_diffusion_deep_fake_tpu.models.efficientnet import (
+    EFFICIENTNET_SPECS,
+    EfficientNetEncoder,
+)
 from denoising_diffusion_deep_fake_tpu.models.mobilenet import (
     MobileNetV2Encoder,
 )
@@ -41,24 +49,42 @@ from denoising_diffusion_deep_fake_tpu.models.resnet import (
 from denoising_diffusion_deep_fake_tpu.models.vgg import VGG_SPECS, VGGEncoder
 
 
-def make_encoder(encoder_name: str, in_channels: int = 3) -> nn.Module:
+def make_encoder(encoder_name: str, in_channels: int = 3,
+                 dtype: Any = jnp.float32) -> nn.Module:
     """Encoder factory over every supported smp encoder family.
 
     All encoders share one contract: ``encoder(x, train)`` returns a
     six-level feature pyramid at strides (1, 2, 4, 8, 16, 32) whose first
     level the decoder drops (smp ``UnetDecoder.forward``'s ``features[1:]``).
+    ``dtype`` is the conv compute dtype (bf16 in training; BN normalization
+    stays fp32) — without it flax's dtype=None promotes every encoder conv
+    back to fp32 against the fp32 params, silently doubling MXU time and
+    activation bytes.
     """
     if encoder_name in RESNET_SPECS:
         return ResNetEncoder(encoder_name=encoder_name,
-                             in_channels=in_channels, name="encoder")
+                             in_channels=in_channels,
+                             dtype=dtype, name="encoder")
     if encoder_name in VGG_SPECS:
         return VGGEncoder(encoder_name=encoder_name,
-                          in_channels=in_channels, name="encoder")
+                          in_channels=in_channels,
+                          dtype=dtype, name="encoder")
+    if encoder_name in DENSENET_SPECS:
+        return DenseNetEncoder(encoder_name=encoder_name,
+                               in_channels=in_channels,
+                               dtype=dtype, name="encoder")
+    if encoder_name in EFFICIENTNET_SPECS:
+        return EfficientNetEncoder(encoder_name=encoder_name,
+                                   in_channels=in_channels,
+                                   dtype=dtype, name="encoder")
     if encoder_name == "mobilenet_v2":
-        return MobileNetV2Encoder(in_channels=in_channels, name="encoder")
+        return MobileNetV2Encoder(in_channels=in_channels, dtype=dtype,
+                                  name="encoder")
+    available = (sorted(RESNET_SPECS) + sorted(VGG_SPECS)
+                 + sorted(DENSENET_SPECS) + sorted(EFFICIENTNET_SPECS)
+                 + ["mobilenet_v2"])
     raise ValueError(
-        f"unsupported encoder_name {encoder_name!r}; available: "
-        f"{sorted(RESNET_SPECS) + sorted(VGG_SPECS) + ['mobilenet_v2']}")
+        f"unsupported encoder_name {encoder_name!r}; available: {available}")
 
 # smp initialize_decoder: kaiming_uniform_(mode="fan_in", nonlinearity="relu")
 _decoder_init = nn.initializers.variance_scaling(2.0, "fan_in", "uniform")
@@ -83,8 +109,10 @@ class Conv2dReLU(nn.Module):
         y = nn.Conv(self.features, (3, 3), padding=1, use_bias=False,
                     kernel_init=_decoder_init, dtype=self.dtype,
                     name="conv")(x)
+        # Stats always fp32 (flax promotes); dtype = output dtype, so the
+        # decoder's materialized activations stay bf16 in training.
         y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         epsilon=1e-5, dtype=jnp.float32, name="bn")(y)
+                         epsilon=1e-5, dtype=self.dtype, name="bn")(y)
         return nn.relu(y)
 
 
@@ -116,8 +144,8 @@ class Unet(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = True) -> jax.Array:
-        features = make_encoder(self.encoder_name, self.in_channels)(
-            x.astype(self.dtype), train)
+        features = make_encoder(self.encoder_name, self.in_channels,
+                                self.dtype)(x.astype(self.dtype), train)
         # smp UnetDecoder: head = deepest feature; skips are the shallower
         # pyramid levels in reverse, excluding the raw input.
         head, skips = features[-1], features[1:-1][::-1]
@@ -145,6 +173,6 @@ def create_unet(encoder_name: str = "resnet34", *, in_channels: int = 3,
                 classes: int = 3, dtype: Any = jnp.float32) -> Unet:
     """Factory mirroring the reference's ``create_model_instance``
     (`/root/reference/d3f/train_deep_fake/lit_module.py:49-60`)."""
-    make_encoder(encoder_name, in_channels)  # raise early on unknown names
+    make_encoder(encoder_name, in_channels, dtype)  # raise early on unknown names
     return Unet(encoder_name=encoder_name, in_channels=in_channels,
                 classes=classes, dtype=dtype)

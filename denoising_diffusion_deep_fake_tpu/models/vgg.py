@@ -22,7 +22,7 @@ checkpoint import (`utils/torch_import.py`) is a mechanical rename.
 
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Any, Sequence
 
 import flax.linen as nn
 import jax
@@ -59,6 +59,7 @@ class VGGEncoder(nn.Module):
 
     encoder_name: str = "vgg16"
     in_channels: int = 3
+    dtype: Any = jnp.float32  # conv compute dtype; BN normalization stays fp32
 
     @property
     def out_channels(self) -> Sequence[int]:
@@ -76,13 +77,14 @@ class VGGEncoder(nn.Module):
                 idx += 1
                 continue
             y = nn.Conv(entry, (3, 3), padding=1, use_bias=True,
-                        kernel_init=_conv_init,
+                        kernel_init=_conv_init, dtype=self.dtype,
                         bias_init=nn.initializers.zeros,
                         name=f"features_{idx}")(y)
             idx += 1
             if batch_norm:
+                # Stats always fp32 (flax promotes); dtype = output dtype.
                 y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                                 epsilon=1e-5, dtype=jnp.float32,
+                                 epsilon=1e-5, dtype=self.dtype,
                                  name=f"features_{idx}")(y)
                 idx += 1
             y = nn.relu(y)

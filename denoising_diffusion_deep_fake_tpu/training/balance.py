@@ -82,9 +82,12 @@ class BalanceTrainer:
         noisy = blend_fixed_amount_of_noise(rng, image, cfg.ratio_of_noise)
 
         def loss_fn(params):
+            # The "dropout" collection drives stochastic depth in encoders
+            # that use it (efficientnet); inert for the other families.
             pred, mutated = self.model.apply(
                 {"params": params, "batch_stats": state.batch_stats}, noisy,
-                train=True, mutable=["batch_stats"])
+                train=True, mutable=["batch_stats"],
+                rngs={"dropout": jax.random.fold_in(rng, 1)})
             return mse_ssim_loss(pred, image), (mutated["batch_stats"], pred)
 
         (loss, (new_bs, pred)), grads = jax.value_and_grad(

@@ -116,18 +116,24 @@ class DeepFakeTrainer:
 
     # ------------------------------------------------------------ primitives
 
-    def _forward_train(self, params, batch_stats, x):
+    def _forward_train(self, params, batch_stats, x, rng=None):
+        # rng (when given) drives stochastic depth in encoders that use it
+        # (efficientnet). The EMA fake-generation forward stays deterministic
+        # (no rng) so swap targets are stable; the gradient forward gets one.
         return self.model.apply({"params": params, "batch_stats": batch_stats},
-                                x, train=True, mutable=["batch_stats"])
+                                x, train=True, mutable=["batch_stats"],
+                                rngs={"dropout": rng} if rng is not None
+                                else None)
 
     def _ema_forward(self, state: ModelState, x):
         """Shadow-model forward, train-mode BN, stat updates discarded."""
         y, _ = self._forward_train(state.ema_params, state.ema_batch_stats, x)
         return jax.lax.stop_gradient(y)
 
-    def _train_one_model(self, state: ModelState, noisy, target):
+    def _train_one_model(self, state: ModelState, noisy, target, rng=None):
         def loss_fn(params):
-            pred, mutated = self._forward_train(params, state.batch_stats, noisy)
+            pred, mutated = self._forward_train(params, state.batch_stats,
+                                                noisy, rng)
             return mse_ssim_loss(pred, target), (mutated["batch_stats"], pred)
 
         (loss, (new_bs, pred)), grads = jax.value_and_grad(
@@ -156,6 +162,9 @@ class DeepFakeTrainer:
         k_a, k_b = jax.random.split(jax.random.fold_in(rng, 0))
         k_aug_a, k_noise_a = jax.random.split(k_a)
         k_aug_b, k_noise_b = jax.random.split(k_b)
+        # fold_in (not a wider split) so the aug/noise streams — and the
+        # pinned golden losses — are unchanged by the drop-key addition.
+        k_drop_a, k_drop_b = jax.random.fold_in(k_a, 1), jax.random.fold_in(k_b, 1)
 
         real_a = augment_batch(k_aug_a, batch_a_u8, cfg.mean_a, cfg.std_a,
                                self.aug)
@@ -179,7 +188,8 @@ class DeepFakeTrainer:
                                          ("b", state_b, real_b, k_noise_b)):
                 noisy, _ = blend_random_amount_of_noise(
                     k, real, cfg.noise_exponential_sampling_lambda)
-                new_state, loss, pred = self._train_one_model(state, noisy, real)
+                new_state, loss, pred = self._train_one_model(
+                    state, noisy, real, k_drop_a if name == "a" else k_drop_b)
                 metrics[f"loss_denoise/train_{name}"] = loss
                 if with_images:
                     images[f"denoise_1_model_input/{name}"] = noisy
@@ -196,7 +206,7 @@ class DeepFakeTrainer:
             noisy_fake_a, _ = blend_random_amount_of_noise(
                 k_noise_a, fake_a, cfg.noise_exponential_sampling_lambda)
             state_a, loss_a, pred_a = self._train_one_model(
-                state_a, noisy_fake_a, real_a)
+                state_a, noisy_fake_a, real_a, k_drop_a)
             metrics["loss_swap/train_a"] = loss_a
 
             # 3-4: ema_a update (sees a's post-step params), then train model_b.
@@ -206,7 +216,7 @@ class DeepFakeTrainer:
             noisy_fake_b, _ = blend_random_amount_of_noise(
                 k_noise_b, fake_b, cfg.noise_exponential_sampling_lambda)
             state_b, loss_b, pred_b = self._train_one_model(
-                state_b, noisy_fake_b, real_b)
+                state_b, noisy_fake_b, real_b, k_drop_b)
             metrics["loss_swap/train_b"] = loss_b
 
             if with_images:

@@ -72,14 +72,20 @@ class DenoiserTrainer:
         # (measured 10x throughput loss from per-step host PRNGKey calls).
         rng = jax.random.fold_in(rng, state.step)
         k_aug, k_noise = jax.random.split(rng)
+        # fold_in (not a wider split) keeps the aug/noise streams — and the
+        # pinned golden losses — unchanged by the drop-key addition.
+        k_drop = jax.random.fold_in(rng, 1)
         image = augment_batch(k_aug, batch_u8, cfg.mean, cfg.std, self.aug)
         noisy, _ = blend_random_amount_of_noise(
             k_noise, image, cfg.noise_exponential_sampling_lambda)
 
         def loss_fn(params):
+            # The "dropout" collection drives stochastic depth in encoders
+            # that use it (efficientnet); inert for the other families.
             pred, mutated = self.model.apply(
                 {"params": params, "batch_stats": state.batch_stats}, noisy,
-                train=True, mutable=["batch_stats"])
+                train=True, mutable=["batch_stats"],
+                rngs={"dropout": k_drop})
             return mse_ssim_loss(pred, image), (mutated["batch_stats"], pred)
 
         (loss, (new_bs, pred)), grads = jax.value_and_grad(

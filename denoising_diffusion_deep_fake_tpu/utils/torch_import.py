@@ -81,6 +81,27 @@ def _convert_entry(parts: list[str], value: np.ndarray, params: dict,
         if parts[1] == "features":
             return _features_entry(parts, leaf, value, params, stats,
                                    vgg_bn_indices)
+        # EfficientNet (efficientnet-pytorch naming): encoder._conv_stem /
+        # ._bn0 / ._blocks.{i}._{module}.{leaf} -> flattened flax names
+        # (models/efficientnet.py).
+        if parts[1] == "_conv_stem" and leaf == "weight":
+            _set(params, ["encoder", "conv_stem", "kernel"],
+                 _conv_kernel(value))
+            return True
+        if parts[1] == "_bn0":
+            return _bn_entry(["encoder", "bn0"], leaf, value, params, stats)
+        if parts[1] == "_blocks" and len(parts) == 5:
+            name = f"blocks_{parts[2]}_{parts[3].lstrip('_')}"
+            if "conv" in parts[3] or "_se_" in parts[3]:
+                if leaf == "weight":
+                    _set(params, ["encoder", name, "kernel"],
+                         _conv_kernel(value))
+                    return True
+                if leaf == "bias":  # SE convs carry biases
+                    _set(params, ["encoder", name, "bias"], value)
+                    return True
+                return False
+            return _bn_entry(["encoder", name], leaf, value, params, stats)
         if parts[1] == "conv1" and leaf == "weight":
             _set(params, ["encoder", "conv1", "kernel"], _conv_kernel(value))
             return True
@@ -145,14 +166,44 @@ def _convert_entry(parts: list[str], value: np.ndarray, params: dict,
 def _features_entry(parts: list[str], leaf: str, value: np.ndarray,
                     params: dict, stats: dict,
                     vgg_bn_indices: set | frozenset) -> bool:
-    """``encoder.features.*`` keys: VGG's flat conv/bn list and
-    MobileNetV2's stem/InvertedResidual/head Sequentials.
+    """``encoder.features.*`` keys: VGG's flat conv/bn list, MobileNetV2's
+    stem/InvertedResidual/head Sequentials, and DenseNet's named children
+    (conv0/norm0, denseblock/denselayer, transition, norm5).
 
     Flax module names mirror the torchvision indices (``features_{i}``,
     ``conv_{k}[_{j}]`` — see models/vgg.py and models/mobilenet.py), so this
     is a mechanical rename plus the usual OIHW->HWIO kernel transpose.
     """
     idx = parts[2]
+
+    # DenseNet: named (non-numeric) children of ``features``.
+    if not idx.isdigit():
+        if idx == "conv0" and leaf == "weight":
+            _set(params, ["encoder", "conv0", "kernel"], _conv_kernel(value))
+            return True
+        if idx in ("norm0", "norm5"):
+            return _bn_entry(["encoder", idx], leaf, value, params, stats)
+        if idx.startswith("denseblock") and len(parts) == 6:
+            # encoder.features.denseblock{i}.denselayer{j}.<mod>.<leaf>
+            name = f"{idx}_{parts[3]}_{parts[4]}"
+            if parts[4].startswith("conv"):
+                if leaf == "weight":
+                    _set(params, ["encoder", name, "kernel"],
+                         _conv_kernel(value))
+                    return True
+                return False
+            return _bn_entry(["encoder", name], leaf, value, params, stats)
+        if idx.startswith("transition") and len(parts) == 5:
+            name = f"{idx}_{parts[3]}"
+            if parts[3] == "conv":
+                if leaf == "weight":
+                    _set(params, ["encoder", name, "kernel"],
+                         _conv_kernel(value))
+                    return True
+                return False
+            return _bn_entry(["encoder", name], leaf, value, params, stats)
+        return False
+
     block = f"features_{idx}"
 
     # VGG: encoder.features.<i>.<leaf> — conv (weight+bias) or BN, telling

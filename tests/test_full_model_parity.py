@@ -52,12 +52,17 @@ def psnr(a: np.ndarray, b: np.ndarray, peak: float) -> float:
 
 
 @pytest.fixture(scope="module",
-                params=["resnet34", "resnet50", "vgg11_bn", "mobilenet_v2"])
+                params=["resnet34", "resnet50", "vgg11_bn", "mobilenet_v2",
+                        "densenet121", "efficientnet-b0"])
 def models(request):
     from torch_cpu_baseline import UnetSMP
 
     torch.manual_seed(0)
     tmodel = UnetSMP(request.param).eval()
+    if hasattr(tmodel.encoder, "drop_connect_rate"):
+        # Deterministic train-mode forward for the parity comparison (the
+        # flax side is deterministic too when no dropout rng is passed).
+        tmodel.encoder.drop_connect_rate = 0.0
     sd = _smp_named_state_dict(tmodel)
     params, stats = convert_smp_unet_state_dict(sd)
     fmodel = create_unet(request.param)

@@ -129,11 +129,15 @@ def test_extended_encoder_family_builds(name):
 
 @pytest.mark.parametrize("name", ["vgg11", "vgg13", "vgg16", "vgg19",
                                   "vgg11_bn", "vgg13_bn", "vgg16_bn",
-                                  "vgg19_bn", "mobilenet_v2"])
-def test_vgg_mobilenet_unet_builds(name):
-    """vgg/mobilenet encoder families build the right smp-Unet topology
-    (tracing only). vgg variants must carry the smp CenterBlock
-    (`center=True if encoder_name.startswith("vgg")` in smp Unet.__init__)."""
+                                  "vgg19_bn", "mobilenet_v2", "densenet121",
+                                  "densenet161", "densenet169", "densenet201",
+                                  "efficientnet-b0", "efficientnet-b3",
+                                  "efficientnet-b7"])
+def test_vgg_mobilenet_densenet_unet_builds(name):
+    """vgg/mobilenet/densenet encoder families build the right smp-Unet
+    topology (tracing only). vgg variants must carry the smp CenterBlock
+    (`center=True if encoder_name.startswith("vgg")` in smp Unet.__init__);
+    the other families must not."""
     model = create_unet(name)
     shapes = jax.eval_shape(
         lambda: model.init(jax.random.PRNGKey(0),
@@ -159,6 +163,13 @@ def test_vgg_mobilenet_unet_builds(name):
     ("vgg19", 29_058_227),
     ("vgg16_bn", 23_756_979),
     ("mobilenet_v2", 6_629_235),
+    ("densenet121", 13_607_923),
+    ("densenet161", 38_738_611),
+    ("densenet169", 21_202_931),
+    ("densenet201", 28_580_851),
+    ("efficientnet-b0", 5_839_599),
+    ("efficientnet-b4", 19_419_579),
+    ("efficientnet-b7", 65_452_099),
 ])
 def test_vgg_mobilenet_param_count(name, expected):
     model = create_unet(name)
@@ -189,3 +200,44 @@ def test_extended_encoder_param_count_matches_torch(name):
     f_count = sum(int(np.prod(x.shape))
                   for x in jax.tree.leaves(shapes["params"]))
     assert f_count == t_count, (name, f_count, t_count)
+
+
+def test_efficientnet_published_param_count_reconstruction():
+    """Independent check of the compound-scaling math: encoder params +
+    the (omitted) classifier head reconstruct torchvision/efficientnet-
+    pytorch's published 5,288,548 total for efficientnet-b0."""
+    torch = pytest.importorskip("torch")  # noqa: F841
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+    from torch_cpu_baseline import EfficientNetEncoder, _round_filters
+
+    enc = EfficientNetEncoder("efficientnet-b0")
+    e_count = sum(p.numel() for p in enc.parameters())
+    head, last = _round_filters(1280, 1.0), enc.out_channels[-1]
+    full = e_count + last * head + 2 * head + head * 1000 + 1000
+    assert full == 5_288_548
+
+
+def test_efficientnet_stochastic_depth_gating():
+    """Drop-connect randomizes only when train=True AND a dropout rng is
+    provided; otherwise the forward is deterministic (parity mode)."""
+    model = create_unet("efficientnet-b0")
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 64, 64, 3))
+    variables = model.init(jax.random.PRNGKey(1), x, train=False)
+
+    def fwd(rngs=None, train=True):
+        out = model.apply(variables, x, train=train,
+                          mutable=["batch_stats"] if train else False,
+                          rngs=rngs)
+        return np.asarray(out[0] if train else out)
+
+    base = fwd()  # train, no rng -> deterministic
+    np.testing.assert_array_equal(base, fwd())
+    d1 = fwd(rngs={"dropout": jax.random.PRNGKey(2)})
+    d2 = fwd(rngs={"dropout": jax.random.PRNGKey(3)})
+    assert np.abs(d1 - d2).max() > 0  # different keys -> different outputs
+    np.testing.assert_array_equal(
+        fwd(rngs=None, train=False), fwd(rngs={"dropout": jax.random.PRNGKey(2)},
+                                         train=False))  # eval ignores the rng

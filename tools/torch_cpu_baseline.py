@@ -211,11 +211,206 @@ class MobileNetV2Encoder(nn.Module):
         return feats
 
 
+# Mirrors models/densenet.py DENSENET_SPECS (torchvision constructor args).
+DENSENET_SPECS = {
+    "densenet121": ((6, 12, 24, 16), 32, 64),
+    "densenet161": ((6, 12, 36, 24), 48, 96),
+    "densenet169": ((6, 12, 32, 32), 32, 64),
+    "densenet201": ((6, 12, 48, 32), 32, 64),
+}
+
+
+class DenseLayer(nn.Module):
+    """torchvision _DenseLayer: BN-ReLU-conv1x1(4g)-BN-ReLU-conv3x3(g)."""
+
+    def __init__(self, cin, growth):
+        super().__init__()
+        self.norm1 = nn.BatchNorm2d(cin)
+        self.conv1 = nn.Conv2d(cin, 4 * growth, 1, bias=False)
+        self.norm2 = nn.BatchNorm2d(4 * growth)
+        self.conv2 = nn.Conv2d(4 * growth, growth, 3, padding=1, bias=False)
+
+    def forward(self, x):
+        y = self.conv1(nn.functional.relu(self.norm1(x)))
+        y = self.conv2(nn.functional.relu(self.norm2(y)))
+        return torch.cat([x, y], dim=1)
+
+
+class DenseNetEncoder(nn.Module):
+    """torchvision DenseNet.features with smp TransitionWithSkip staging:
+    skips are the transitions' post-ReLU (pre-conv) maps; the deepest level
+    is norm5's BN output with NO ReLU (see models/densenet.py)."""
+
+    def __init__(self, name="densenet121"):
+        super().__init__()
+        block_config, growth, ch = DENSENET_SPECS[name]
+        features = nn.Module()
+        features.conv0 = nn.Conv2d(3, ch, 7, 2, 3, bias=False)
+        features.norm0 = nn.BatchNorm2d(ch)
+        out = [3, ch]
+        for i, layers in enumerate(block_config, start=1):
+            block = nn.Module()
+            for j in range(1, layers + 1):
+                block.add_module(f"denselayer{j}", DenseLayer(ch, growth))
+                ch += growth
+            features.add_module(f"denseblock{i}", block)
+            out.append(ch)
+            if i != len(block_config):
+                trans = nn.Module()
+                trans.norm = nn.BatchNorm2d(ch)
+                trans.conv = nn.Conv2d(ch, ch // 2, 1, bias=False)
+                features.add_module(f"transition{i}", trans)
+                ch = ch // 2
+        features.norm5 = nn.BatchNorm2d(ch)
+        self.features = features
+        self.block_config = block_config
+        self.out_channels = tuple(out)
+
+    def forward(self, x):
+        f = self.features
+        feats = [x]
+        y = nn.functional.relu(f.norm0(f.conv0(x)))
+        feats.append(y)
+        y = nn.functional.max_pool2d(y, 3, 2, 1)
+        for i in range(1, len(self.block_config) + 1):
+            block = getattr(f, f"denseblock{i}")
+            for j in range(1, self.block_config[i - 1] + 1):
+                y = getattr(block, f"denselayer{j}")(y)
+            if i != len(self.block_config):
+                trans = getattr(f, f"transition{i}")
+                y = nn.functional.relu(trans.norm(y))
+                feats.append(y)
+                y = nn.functional.avg_pool2d(trans.conv(y), 2, 2)
+            else:
+                feats.append(f.norm5(y))
+        return feats
+
+
+# Mirrors models/efficientnet.py (compound-scaling rules; b0 base blocks).
+EFFICIENTNET_SPECS = {
+    "efficientnet-b0": (1.0, 1.0), "efficientnet-b1": (1.0, 1.1),
+    "efficientnet-b2": (1.1, 1.2), "efficientnet-b3": (1.2, 1.4),
+    "efficientnet-b4": (1.4, 1.8), "efficientnet-b5": (1.6, 2.2),
+    "efficientnet-b6": (1.8, 2.6), "efficientnet-b7": (2.0, 3.1),
+}
+EFFICIENTNET_BASE_BLOCKS = (
+    (1, 3, 1, 1, 32, 16), (2, 3, 2, 6, 16, 24), (2, 5, 2, 6, 24, 40),
+    (3, 3, 2, 6, 40, 80), (3, 5, 1, 6, 80, 112), (4, 5, 2, 6, 112, 192),
+    (1, 3, 1, 6, 192, 320),
+)
+
+
+def _round_filters(f, width, divisor=8):
+    f *= width
+    new = max(divisor, int(f + divisor / 2) // divisor * divisor)
+    if new < 0.9 * f:
+        new += divisor
+    return int(new)
+
+
+class SamePadConv2d(nn.Conv2d):
+    """efficientnet-pytorch Conv2dStaticSamePadding (TF 'same', computed
+    from the input extent at forward time)."""
+
+    def forward(self, x):
+        k, s = self.kernel_size[0], self.stride[0]
+        pads = []
+        for n in (x.shape[-1], x.shape[-2]):  # F.pad order: W then H
+            p = max((math.ceil(n / s) - 1) * s + k - n, 0)
+            pads += [p // 2, p - p // 2]
+        x = nn.functional.pad(x, pads)
+        return nn.functional.conv2d(x, self.weight, self.bias, self.stride,
+                                    0, self.dilation, self.groups)
+
+
+class MBConv(nn.Module):
+    """efficientnet-pytorch MBConvBlock (underscore attr names = smp keys)."""
+
+    def __init__(self, k, s, e, cin, cout):
+        super().__init__()
+        hidden = cin * e
+        bn = lambda c: nn.BatchNorm2d(c, momentum=0.01, eps=1e-3)  # noqa: E731
+        if e != 1:
+            self._expand_conv = SamePadConv2d(cin, hidden, 1, bias=False)
+            self._bn0 = bn(hidden)
+        self._depthwise_conv = SamePadConv2d(hidden, hidden, k, s,
+                                             groups=hidden, bias=False)
+        self._bn1 = bn(hidden)
+        se = max(1, int(cin * 0.25))
+        self._se_reduce = SamePadConv2d(hidden, se, 1)
+        self._se_expand = SamePadConv2d(se, hidden, 1)
+        self._project_conv = SamePadConv2d(hidden, cout, 1, bias=False)
+        self._bn2 = bn(cout)
+        self.expand, self.stride, self.cin, self.cout = e, s, cin, cout
+
+    def forward(self, x, drop_rate=0.0):
+        swish = nn.functional.silu
+        y = x
+        if self.expand != 1:
+            y = swish(self._bn0(self._expand_conv(y)))
+        y = swish(self._bn1(self._depthwise_conv(y)))
+        se = y.mean((2, 3), keepdim=True)
+        se = self._se_expand(swish(self._se_reduce(se)))
+        y = torch.sigmoid(se) * y
+        y = self._bn2(self._project_conv(y))
+        if self.stride == 1 and self.cin == self.cout:
+            if drop_rate > 0 and self.training:
+                keep = 1.0 - drop_rate
+                mask = torch.floor(keep + torch.rand(
+                    y.shape[0], 1, 1, 1, dtype=y.dtype, device=y.device))
+                y = y / keep * mask
+            y = y + x
+        return y
+
+
+class EfficientNetEncoder(nn.Module):
+    """smp EfficientNetEncoder: stem + MBConv list, stages split at the
+    24/40/112-group boundaries; dead classifier head omitted (see
+    models/efficientnet.py docstring)."""
+
+    def __init__(self, name="efficientnet-b0"):
+        super().__init__()
+        width, depth = EFFICIENTNET_SPECS[name]
+        stem = _round_filters(32, width)
+        self._conv_stem = SamePadConv2d(3, stem, 3, 2, bias=False)
+        self._bn0 = nn.BatchNorm2d(stem, momentum=0.01, eps=1e-3)
+        self._blocks = nn.ModuleList()
+        reps, out = [], [3, stem]
+        for r, k, s, e, cin, cout in EFFICIENTNET_BASE_BLOCKS:
+            cin, cout = _round_filters(cin, width), _round_filters(cout, width)
+            n = math.ceil(depth * r)
+            reps.append(n)
+            out.append(cout)
+            for j in range(n):
+                self._blocks.append(
+                    MBConv(k, s if j == 0 else 1, e, cin if j == 0 else cout,
+                           cout))
+        self.stage_idxs = (reps[0] + reps[1], reps[0] + reps[1] + reps[2],
+                           sum(reps[:5]))
+        self.out_channels = (3, stem, out[3], out[4], out[6], out[8])
+        self.drop_connect_rate = 0.2  # set 0 for deterministic train-mode
+
+    def forward(self, x):
+        feats = [x]
+        y = nn.functional.silu(self._bn0(self._conv_stem(x)))
+        feats.append(y)
+        for i, block in enumerate(self._blocks):
+            y = block(y, self.drop_connect_rate * i / len(self._blocks))
+            if i + 1 in self.stage_idxs:
+                feats.append(y)
+        feats.append(y)
+        return feats
+
+
 def make_encoder(name):
     if name in ENCODER_SPECS:
         return ResnetEncoder(name)
     if name.partition("_")[0] in VGG_LAYOUTS:
         return VGGEncoder(name)
+    if name in DENSENET_SPECS:
+        return DenseNetEncoder(name)
+    if name in EFFICIENTNET_SPECS:
+        return EfficientNetEncoder(name)
     if name == "mobilenet_v2":
         return MobileNetV2Encoder(name)
     raise ValueError(name)
