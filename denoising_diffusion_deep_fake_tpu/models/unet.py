@@ -42,6 +42,10 @@ from denoising_diffusion_deep_fake_tpu.models.efficientnet import (
 from denoising_diffusion_deep_fake_tpu.models.mobilenet import (
     MobileNetV2Encoder,
 )
+from denoising_diffusion_deep_fake_tpu.models.senet import (
+    SENET_SPECS,
+    SENetEncoder,
+)
 from denoising_diffusion_deep_fake_tpu.models.resnet import (
     RESNET_SPECS,
     ResNetEncoder,
@@ -73,6 +77,10 @@ def make_encoder(encoder_name: str, in_channels: int = 3,
         return DenseNetEncoder(encoder_name=encoder_name,
                                in_channels=in_channels,
                                dtype=dtype, name="encoder")
+    if encoder_name in SENET_SPECS:
+        return SENetEncoder(encoder_name=encoder_name,
+                            in_channels=in_channels,
+                            dtype=dtype, name="encoder")
     if encoder_name in EFFICIENTNET_SPECS:
         return EfficientNetEncoder(encoder_name=encoder_name,
                                    in_channels=in_channels,
@@ -82,7 +90,7 @@ def make_encoder(encoder_name: str, in_channels: int = 3,
                                   name="encoder")
     available = (sorted(RESNET_SPECS) + sorted(VGG_SPECS)
                  + sorted(DENSENET_SPECS) + sorted(EFFICIENTNET_SPECS)
-                 + ["mobilenet_v2"])
+                 + sorted(SENET_SPECS) + ["mobilenet_v2"])
     raise ValueError(
         f"unsupported encoder_name {encoder_name!r}; available: {available}")
 

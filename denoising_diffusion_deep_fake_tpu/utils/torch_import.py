@@ -107,10 +107,32 @@ def _convert_entry(parts: list[str], value: np.ndarray, params: dict,
             return True
         if parts[1] == "bn1":
             return _bn_entry(["encoder", "bn1"], leaf, value, params, stats)
+        # SE-Net stem (pretrainedmodels): encoder.layer0.{conv,bn}{i}.<leaf>
+        # -> flattened layer0_conv{i} / layer0_bn{i} (models/senet.py).
+        if parts[1] == "layer0":
+            if parts[2].startswith("conv") and leaf == "weight":
+                _set(params, ["encoder", f"layer0_{parts[2]}", "kernel"],
+                     _conv_kernel(value))
+                return True
+            if parts[2].startswith("bn"):
+                return _bn_entry(["encoder", f"layer0_{parts[2]}"], leaf,
+                                 value, params, stats)
+            return False
         m = re.fullmatch(r"layer(\d)", parts[1])
         if m:
             block = f"layer{m.group(1)}_{parts[2]}"
             sub = parts[3]
+            if sub == "se_module":
+                # encoder.layerL.i.se_module.fc{1,2}.{weight,bias} -> se_fc{k}
+                if leaf == "weight":
+                    _set(params, ["encoder", block, f"se_{parts[4]}",
+                                  "kernel"], _conv_kernel(value))
+                    return True
+                if leaf == "bias":
+                    _set(params, ["encoder", block, f"se_{parts[4]}", "bias"],
+                         value)
+                    return True
+                return False
             if sub.startswith("conv") and leaf == "weight":
                 _set(params, ["encoder", block, sub, "kernel"],
                      _conv_kernel(value))

@@ -132,7 +132,10 @@ def test_extended_encoder_family_builds(name):
                                   "vgg19_bn", "mobilenet_v2", "densenet121",
                                   "densenet161", "densenet169", "densenet201",
                                   "efficientnet-b0", "efficientnet-b3",
-                                  "efficientnet-b7"])
+                                  "efficientnet-b7", "se_resnet50",
+                                  "se_resnet101", "se_resnet152",
+                                  "se_resnext50_32x4d", "se_resnext101_32x4d",
+                                  "senet154"])
 def test_vgg_mobilenet_densenet_unet_builds(name):
     """vgg/mobilenet/densenet encoder families build the right smp-Unet
     topology (tracing only). vgg variants must carry the smp CenterBlock
@@ -170,6 +173,15 @@ def test_vgg_mobilenet_densenet_unet_builds(name):
     ("efficientnet-b0", 5_839_599),
     ("efficientnet-b4", 19_419_579),
     ("efficientnet-b7", 65_452_099),
+    # SE-Net family (pretrainedmodels wiring; replica counts cross-checked
+    # against the published totals, e.g. se_resnet50 encoder 26,039,024 =
+    # 28,088,024 published - 2,049,000 fc we omit).
+    ("se_resnet50", 35_052_387),
+    ("se_resnet101", 56_291_235),
+    ("se_resnet152", 73_786_211),
+    ("se_resnext50_32x4d", 34_524_259),
+    ("se_resnext101_32x4d", 55_919_779),
+    ("senet154", 122_071_779),
 ])
 def test_vgg_mobilenet_param_count(name, expected):
     model = create_unet(name)

@@ -402,9 +402,123 @@ class EfficientNetEncoder(nn.Module):
         return feats
 
 
+# Mirrors models/senet.py SENET_SPECS (pretrainedmodels senet.py wiring).
+SENET_SPECS = {
+    # block, layers, groups, inplanes, input_3x3, downsample_3x3
+    "se_resnet50": ("se_resnet", (3, 4, 6, 3), 1, 64, False, False),
+    "se_resnet101": ("se_resnet", (3, 4, 23, 3), 1, 64, False, False),
+    "se_resnet152": ("se_resnet", (3, 8, 36, 3), 1, 64, False, False),
+    "se_resnext50_32x4d": ("se_resnext", (3, 4, 6, 3), 32, 64, False, False),
+    "se_resnext101_32x4d": ("se_resnext", (3, 4, 23, 3), 32, 64, False, False),
+    "senet154": ("se_bottleneck", (3, 8, 36, 3), 64, 128, True, True),
+}
+
+
+class SEModule(nn.Module):
+    def __init__(self, channels, reduction=16):
+        super().__init__()
+        self.fc1 = nn.Conv2d(channels, channels // reduction, 1)
+        self.fc2 = nn.Conv2d(channels // reduction, channels, 1)
+
+    def forward(self, x):
+        s = x.mean((2, 3), keepdim=True)
+        s = self.fc2(torch.relu(self.fc1(s)))
+        return x * torch.sigmoid(s)
+
+
+class SENetBottleneck(nn.Module):
+    """pretrainedmodels SEResNet/SEResNeXt/SE bottlenecks (see
+    models/senet.py docstring for the per-kind conv wirings and the
+    stride-on-conv1 Caffe quirk)."""
+
+    def __init__(self, cin, planes, kind, stride=1, groups=1, base_width=4,
+                 downsample_3x3=False):
+        super().__init__()
+        out = planes * 4
+        if kind == "se_resnet":
+            widths, strides, g = (planes, planes), (stride, 1), 1
+        elif kind == "se_resnext":
+            w = math.floor(planes * (base_width / 64)) * groups
+            widths, strides, g = (w, w), (1, stride), groups
+        else:
+            widths, strides, g = (planes * 2, planes * 4), (1, stride), groups
+        self.conv1 = nn.Conv2d(cin, widths[0], 1, strides[0], bias=False)
+        self.bn1 = nn.BatchNorm2d(widths[0])
+        self.conv2 = nn.Conv2d(widths[0], widths[1], 3, strides[1], 1,
+                               groups=g, bias=False)
+        self.bn2 = nn.BatchNorm2d(widths[1])
+        self.conv3 = nn.Conv2d(widths[1], out, 1, bias=False)
+        self.bn3 = nn.BatchNorm2d(out)
+        self.se_module = SEModule(out)
+        self.downsample = None
+        if stride != 1 or cin != out:
+            k = 3 if downsample_3x3 else 1
+            self.downsample = nn.Sequential(
+                nn.Conv2d(cin, out, k, stride, (k - 1) // 2, bias=False),
+                nn.BatchNorm2d(out))
+
+    def forward(self, x):
+        residual = x if self.downsample is None else self.downsample(x)
+        y = torch.relu(self.bn1(self.conv1(x)))
+        y = torch.relu(self.bn2(self.conv2(y)))
+        y = self.bn3(self.conv3(y))
+        return torch.relu(self.se_module(y) + residual)
+
+
+class SENetEncoder(nn.Module):
+    """smp SENetEncoder: layer0 stem (sans pool) is stage 1; the ceil-mode
+    3x3/2 maxpool (NO padding) + layer1 is stage 2; dead classifier
+    omitted."""
+
+    def __init__(self, name="se_resnet50"):
+        super().__init__()
+        kind, layers, groups, inplanes, input_3x3, down3 = SENET_SPECS[name]
+        layer0 = nn.Module()
+        if input_3x3:
+            layer0.conv1 = nn.Conv2d(3, 64, 3, 2, 1, bias=False)
+            layer0.bn1 = nn.BatchNorm2d(64)
+            layer0.conv2 = nn.Conv2d(64, 64, 3, 1, 1, bias=False)
+            layer0.bn2 = nn.BatchNorm2d(64)
+            layer0.conv3 = nn.Conv2d(64, 128, 3, 1, 1, bias=False)
+            layer0.bn3 = nn.BatchNorm2d(128)
+        else:
+            layer0.conv1 = nn.Conv2d(3, inplanes, 7, 2, 3, bias=False)
+            layer0.bn1 = nn.BatchNorm2d(inplanes)
+        self.layer0 = layer0
+        self.input_3x3 = input_3x3
+        cin = inplanes
+        for li, (n, planes) in enumerate(zip(layers, (64, 128, 256, 512)),
+                                         start=1):
+            blocks = []
+            for bi in range(n):
+                stride = 2 if (li > 1 and bi == 0) else 1
+                blocks.append(SENetBottleneck(
+                    cin, planes, kind, stride, groups,
+                    downsample_3x3=down3 and li > 1))
+                cin = planes * 4
+            setattr(self, f"layer{li}", nn.Sequential(*blocks))
+        self.out_channels = (3, inplanes, 256, 512, 1024, 2048)
+
+    def forward(self, x):
+        feats = [x]
+        l0 = self.layer0
+        y = torch.relu(l0.bn1(l0.conv1(x)))
+        if self.input_3x3:
+            y = torch.relu(l0.bn2(l0.conv2(y)))
+            y = torch.relu(l0.bn3(l0.conv3(y)))
+        feats.append(y)
+        y = nn.functional.max_pool2d(y, 3, 2, 0, ceil_mode=True)
+        for li in range(1, 5):
+            y = getattr(self, f"layer{li}")(y)
+            feats.append(y)
+        return feats
+
+
 def make_encoder(name):
     if name in ENCODER_SPECS:
         return ResnetEncoder(name)
+    if name in SENET_SPECS:
+        return SENetEncoder(name)
     if name.partition("_")[0] in VGG_LAYOUTS:
         return VGGEncoder(name)
     if name in DENSENET_SPECS:
