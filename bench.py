@@ -7,11 +7,25 @@ throughput per chip. ``vs_baseline`` is measured against the driver-set
 target of 10x the CPU reference; the CPU reference throughput is estimated
 once on this host (see BASELINE.md; the torch reference publishes no numbers,
 so the first measured runs establish the baseline).
+
+Capture hardening (VERDICT r2 item 2): this host reaches the TPU through a
+tunnel that can be transiently down — round 2's capture recorded rc=1 from a
+backend-init outage with bench.py unchanged since a passing run. ``main``
+therefore runs the measurement in a TIMEOUT-BOUNDED subprocess (a hung
+backend init cannot be interrupted in-process; the observed outage hung 35
+minutes) with bounded retries + backoff on retryable tunnel errors, and on
+persistent failure emits a machine-readable diagnostic JSON line
+(``{"error": "tpu_unavailable", ...}``) so a driver capture can distinguish
+"tunnel down" from "code broken". Knobs (for tests): D3F_BENCH_ATTEMPTS,
+D3F_BENCH_BACKOFF_S, D3F_BENCH_TIMEOUT_S, D3F_BENCH_CMD.
 """
 
 from __future__ import annotations
 
 import json
+import os
+import subprocess
+import sys
 import time
 
 
@@ -60,7 +74,8 @@ def bench_denoiser_throughput(batch_size: int = 256, image_size: int = 64,
             "loss": float(last_metrics["m"]["loss"])}
 
 
-def main() -> None:
+def run_once() -> None:
+    """One measurement attempt in THIS process; prints the result JSON line."""
     result = bench_denoiser_throughput()
     # Baseline: the north star asks for >10x the CPU reference per chip.
     # The measured CPU reference (tools/torch_cpu_baseline.py — torch CPU
@@ -76,5 +91,65 @@ def main() -> None:
     }))
 
 
+# stderr markers that mean "the TPU/tunnel is down", not "the code is broken"
+# (observed wording of the axon outage + the usual grpc retryable statuses).
+_RETRYABLE_MARKERS = (
+    "UNAVAILABLE",
+    "Unable to initialize backend",
+    "DEADLINE_EXCEEDED",
+    "failed to connect",
+    "Connection reset",
+    "Socket closed",
+)
+
+
+def _classify(stderr: str) -> str:
+    return ("tpu_unavailable"
+            if any(m in stderr for m in _RETRYABLE_MARKERS) else "code_error")
+
+
+def main() -> int:
+    attempts = int(os.environ.get("D3F_BENCH_ATTEMPTS", "3"))
+    backoff_s = float(os.environ.get("D3F_BENCH_BACKOFF_S", "90"))
+    timeout_s = float(os.environ.get("D3F_BENCH_TIMEOUT_S", "900"))
+    # Test hook: substitute the child command to force failures/hangs.
+    cmd = (os.environ["D3F_BENCH_CMD"].split()
+           if "D3F_BENCH_CMD" in os.environ
+           else [sys.executable, os.path.abspath(__file__), "--once"])
+
+    history = []
+    for attempt in range(1, attempts + 1):
+        try:
+            proc = subprocess.run(cmd, capture_output=True, text=True,
+                                  timeout=timeout_s)
+            rc, out, err = proc.returncode, proc.stdout, proc.stderr
+        except subprocess.TimeoutExpired as e:
+            rc, out = None, (e.stdout or "")
+            err = (e.stderr or "") + f"\n[bench] attempt timed out after " \
+                                     f"{timeout_s:.0f}s (hung backend init?)"
+        if rc == 0 and out.strip():
+            print(out.strip().splitlines()[-1])  # the child's one JSON line
+            return 0
+        reason = "timeout" if rc is None else _classify(err)
+        history.append({"attempt": attempt, "rc": rc, "reason": reason,
+                        "stderr_tail": err.strip()[-400:]})
+        print(f"[bench] attempt {attempt}/{attempts} failed ({reason})",
+              file=sys.stderr)
+        sys.stderr.write(err[-2000:] + "\n")
+        if reason == "code_error":
+            break  # a real bug won't heal with backoff — fail fast
+        if attempt < attempts:
+            time.sleep(backoff_s)
+    print(json.dumps({
+        "error": history[-1]["reason"],
+        "metric": "denoiser_train_imgs_per_sec_per_chip_64px_bf16",
+        "attempts": history,
+    }))
+    return 1
+
+
 if __name__ == "__main__":
-    main()
+    if "--once" in sys.argv[1:]:
+        run_once()
+    else:
+        sys.exit(main())

@@ -74,6 +74,13 @@ class BaseConfig:
     # SIGTERM -> final checkpoint -> clean exit (TPU maintenance events /
     # scheduler preemption). Resume with `train resume` afterwards.
     handle_preemption: bool = True
+    # Host->device wire format for TRAINING batches. "i420" ships 4:2:0-packed
+    # uint8 (half the bytes of RGB) and converts to RGB on-device before
+    # normalize/augment — the JPEG sources are already chroma-subsampled, so
+    # ~zero information is lost while transfer-limited hosts roughly double
+    # delivered imgs/s (BASELINE.md r3). "rgb" (default) is the parity path.
+    # The balancer's once-per-epoch scoring pass always uses rgb.
+    upload_format: str = "rgb"
 
     def validate(self) -> None:
         if self.batch_size <= 0:
@@ -94,6 +101,22 @@ class BaseConfig:
                 and self.image_size % self.spatial_parallel != 0):
             raise ValueError(
                 "image_size must divide evenly across spatial_parallel")
+        if self.upload_format not in ("rgb", "i420"):
+            raise ValueError(
+                f"upload_format must be 'rgb' or 'i420', got "
+                f"{self.upload_format!r}")
+        if self.upload_format == "i420":
+            if self.spatial_parallel > 1:
+                # The packed (B, H*3/2, W) layout interleaves luma/chroma
+                # planes along dim 1 — H-sharding it would split planes
+                # incoherently. Use rgb uploads when spatially sharding.
+                raise ValueError(
+                    "upload_format='i420' is incompatible with "
+                    "spatial_parallel > 1 — use upload_format='rgb'")
+            if self.image_size is not None and (self.image_size % 4 != 0):
+                raise ValueError(
+                    "upload_format='i420' needs image_size % 4 == 0, got "
+                    f"{self.image_size}")
 
     @property
     def cosine_t_max(self) -> int:

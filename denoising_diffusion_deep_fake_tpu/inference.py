@@ -138,9 +138,16 @@ def make_device_pipeline(model: SwapModel, *, sampler_steps: int = 0,
     std_dev = jnp.asarray(std, jnp.float32).reshape(1, 1, 1, 3) * 255.0
 
     if sampler_steps > 0:
+        # Clip bounds for the DDIM x0-thresholding follow the model's own
+        # normalization: pixels in [0,1] map to ((0-m)/s, (1-m)/s). The old
+        # hardcoded (-1, 1) was only right for mean=std=0.5; with e.g.
+        # ImageNet stats it would clamp legitimate values every step.
+        clip = (min((0.0 - m) / s for m, s in zip(mean, std)),
+                max((1.0 - m) / s for m, s in zip(mean, std)))
+
         def swap_batch(x, key):
             return swap_refine(lambda z: predict(state, z), x, key,
-                               steps=sampler_steps)
+                               steps=sampler_steps, clip=clip)
     else:
         def swap_batch(x, key):
             return predict(state, x)

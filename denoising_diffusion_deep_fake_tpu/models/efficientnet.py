@@ -125,11 +125,27 @@ def block_layout(encoder_name: str) -> list[dict]:
     return blocks
 
 
+# smp's published efficient_net_encoders catalog stage_idxs (first three
+# entries; the fourth is the total block count). For b1-b7 these equal the
+# cumulative depth-scaled repeat boundaries after the 24 / 40 / 112 groups,
+# but b0 is (3, 5, 9): smp takes the 1/16 skip after the FIRST 112-ch block
+# (cumulative boundary would be 11). Hardcoded so imported smp checkpoints
+# tap identical skip features (ADVICE r2 medium; audit note in docs/PARITY.md).
+_SMP_STAGE_IDXS = {
+    "efficientnet-b0": (3, 5, 9),
+    "efficientnet-b1": (5, 8, 16),
+    "efficientnet-b2": (5, 8, 16),
+    "efficientnet-b3": (5, 8, 18),
+    "efficientnet-b4": (6, 10, 22),
+    "efficientnet-b5": (8, 13, 27),
+    "efficientnet-b6": (9, 15, 31),
+    "efficientnet-b7": (11, 18, 38),
+}
+
+
 def stage_idxs(encoder_name: str) -> tuple[int, int, int]:
-    """smp stage_idxs: block-list boundaries after the 24 / 40 / 112 groups."""
-    _, depth = EFFICIENTNET_SPECS[encoder_name]
-    reps = [round_repeats(r, depth) for (r, *_rest) in _BASE_BLOCKS]
-    return (reps[0] + reps[1], reps[0] + reps[1] + reps[2], sum(reps[:5]))
+    """smp stage_idxs: block-list boundaries of the 1/4, 1/8, 1/16 skips."""
+    return _SMP_STAGE_IDXS[encoder_name]
 
 
 def _same_padding(h: int, w: int, k: int, s: int):

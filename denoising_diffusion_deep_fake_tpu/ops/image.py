@@ -113,10 +113,53 @@ def center_crop(image: np.ndarray, target_aspect_w: int,
 # (BT.601 studio swing, top-left chroma subsample — calibrated against cv2
 # in tests/test_image_ops.py) so hosts can use cv2's SIMD converters.
 
+def pack_rgb_batch_to_i420_np(batch: np.ndarray) -> np.ndarray:
+    """HOST-side (B, H, W, 3) RGB uint8 -> (B, H*3/2, W) uint8 I420.
+
+    Uses cv2's SIMD converter (same math the device-side ``i420_to_rgb``
+    matches bit-closely); runs on the prefetch thread so training uploads
+    carry half the bytes (`upload_format: i420`, VERDICT r2 item 3).
+    """
+    import cv2
+
+    b, h, w, _ = batch.shape
+    validate_i420_dims(h, w)
+    out = np.empty((b, h * 3 // 2, w), dtype=np.uint8)
+    for i in range(b):
+        out[i] = cv2.cvtColor(batch[i], cv2.COLOR_RGB2YUV_I420)
+    return out
+
+
+def unpack_upload(batch: "jax.Array", upload_format: str) -> "jax.Array":
+    """Device-side start of the train step: wire format -> RGB in [0, 255].
+
+    ``rgb`` batches pass through (uint8); ``i420`` batches are unpacked to
+    float32 RGB — ``normalise_batch``/``augment_batch`` accept either.
+    """
+    if upload_format == "i420":
+        return i420_to_rgb(batch)
+    return batch
+
+
+def validate_i420_dims(height: int, width: int) -> None:
+    """Raise a descriptive error for frame sizes the I420 packing can't carry.
+
+    The packed layout ravels each (H/2, W/2) chroma plane into quarter-height
+    full-width rows, which needs H % 4 == 0 and W % 2 == 0; without this check
+    an odd size fails with an opaque reshape error inside jit.
+    """
+    if height % 4 != 0 or width % 2 != 0:
+        raise ValueError(
+            f"I420 transfer needs height % 4 == 0 and width % 2 == 0, got "
+            f"{height}x{width} — round the frame size (e.g. --height/--width) "
+            "to multiples of 4/2 or use transfer='rgb'")
+
+
 def rgb_to_i420(rgb: "jax.Array") -> "jax.Array":
     """(B, H, W, 3) RGB [0,255] float/uint8 -> (B, H*3/2, W) uint8 I420."""
     x = rgb.astype(jnp.float32)
     b, h, w, _ = x.shape
+    validate_i420_dims(h, w)
     r, g, bl = x[..., 0], x[..., 1], x[..., 2]
     y = 16.0 + 0.257 * r + 0.504 * g + 0.098 * bl
     # Top-left chroma sample of each 2x2 block (cv2 convention).
@@ -135,7 +178,10 @@ def i420_to_rgb(i420: "jax.Array") -> "jax.Array":
     """(B, H*3/2, W) uint8 I420 -> (B, H, W, 3) float32 RGB in [0, 255]."""
     x = i420.astype(jnp.float32)
     b, h15, w = x.shape
+    if h15 % 3 != 0:
+        raise ValueError(f"I420 packed height must be H*3/2, got {h15}")
     h = (h15 * 2) // 3
+    validate_i420_dims(h, w)
     y = x[:, :h]
     u = x[:, h:h + h // 4].reshape(b, h // 2, w // 2)
     v = x[:, h + h // 4:].reshape(b, h // 2, w // 2)

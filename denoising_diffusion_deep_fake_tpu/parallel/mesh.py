@@ -75,7 +75,7 @@ def shard_state(state: Any, mesh: Mesh):
 
 
 def device_prefetch(iterator, mesh: Mesh, *, depth: int = 2,
-                    spatial: bool = False):
+                    spatial: bool = False, upload_format: str = "rgb"):
     """Upload batches to the mesh ahead of consumption on a worker thread.
 
     Wraps an iterator of pytrees-of-numpy-arrays; uint8 image arrays (ndim
@@ -83,14 +83,33 @@ def device_prefetch(iterator, mesh: Mesh, *, depth: int = 2,
     release the GIL, so the upload of batch k+1 overlaps the device compute
     of batch k — on high-latency links (this TPU tunnel) per-step
     ``device_put`` round-trips otherwise dominate the train loop.
+
+    ``upload_format="i420"`` packs uint8 RGB image batches 4:2:0 on the
+    worker thread (cv2 SIMD) before upload — half the wire bytes; the train
+    step unpacks on-device (``ops.image.unpack_upload``). The packed tensor
+    is 3-d, so it shards over the data axis only.
     """
     import queue as _queue
     import threading
 
     sharding = batch_sharding(mesh, spatial_dim=1 if spatial else None)
     multiprocess = jax.process_count() > 1
+    if upload_format == "i420":
+        from denoising_diffusion_deep_fake_tpu.ops.image import (
+            pack_rgb_batch_to_i420_np)
+
+        sharding = NamedSharding(mesh, P("data"))
+
+    def pack(item):
+        if upload_format != "i420":
+            return item
+        return jax.tree.map(
+            lambda x: pack_rgb_batch_to_i420_np(x)
+            if (getattr(x, "ndim", 0) == 4
+                and getattr(x, "dtype", None) == np.uint8) else x, item)
 
     def put(item):
+        item = pack(item)
         if multiprocess:
             # Each process contributes its local slice of the global batch
             # (one shared implementation of the batch-assembly convention).

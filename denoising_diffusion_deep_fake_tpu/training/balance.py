@@ -75,6 +75,11 @@ class BalanceTrainer:
 
     def _train_step(self, state: ModelState, batch_u8, rng, *, with_images):
         cfg = self.cfg
+        from denoising_diffusion_deep_fake_tpu.ops.image import unpack_upload
+
+        # Training batches honor upload_format; the once-per-epoch scoring
+        # pass (make_validation_step) always uploads rgb.
+        batch_u8 = unpack_upload(batch_u8, getattr(cfg, "upload_format", "rgb"))
         # Per-step key derived on device from the step counter (see
         # denoiser.py) — host passes a constant base key.
         rng = jax.random.fold_in(rng, state.step)

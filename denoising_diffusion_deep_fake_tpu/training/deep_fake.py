@@ -156,6 +156,11 @@ class DeepFakeTrainer:
 
     def _train_step(self, states, batch_a_u8, batch_b_u8, rng, *, with_images):
         cfg = self.cfg
+        from denoising_diffusion_deep_fake_tpu.ops.image import unpack_upload
+
+        upload = getattr(cfg, "upload_format", "rgb")
+        batch_a_u8 = unpack_upload(batch_a_u8, upload)
+        batch_b_u8 = unpack_upload(batch_b_u8, upload)
         # Per-step key derived on device from model_a's step counter (see
         # denoiser.py) — host passes a constant base key.
         rng = jax.random.fold_in(rng, states["a"].step)

@@ -67,6 +67,10 @@ class DenoiserTrainer:
 
     def _train_step(self, state: ModelState, batch_u8, rng, *, with_images):
         cfg = self.cfg
+        from denoising_diffusion_deep_fake_tpu.ops.image import unpack_upload
+
+        batch_u8 = unpack_upload(batch_u8,
+                                 getattr(cfg, "upload_format", "rgb"))
         # Derive the per-step key ON DEVICE from the step counter: the host
         # passes one constant base key, avoiding a tunnel round-trip per step
         # (measured 10x throughput loss from per-step host PRNGKey calls).

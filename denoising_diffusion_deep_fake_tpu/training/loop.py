@@ -121,6 +121,14 @@ class LoopContext:
         self._metric_q: queue.Queue = queue.Queue(maxsize=64)
         self._diverged: list | None = None
         self._worker_error: BaseException | None = None
+        # Multi-process runs guard SYNCHRONOUSLY: the async worker drains on
+        # its own schedule per host, so divergence would surface at different
+        # steps across processes — the first to raise abandons peers inside a
+        # collective (hang). Metrics are replicated, so a synchronous check
+        # trips on the SAME step everywhere and all processes raise at the
+        # same loop point (see the multi-host lockstep pitfalls in CLAUDE.md).
+        self._sync_metrics = jax.process_count() > 1
+        self._stop_event = threading.Event()
         self._metric_thread = threading.Thread(
             target=self._metric_worker, name="metric-logger", daemon=True)
         self._metric_thread.start()
@@ -169,14 +177,21 @@ class LoopContext:
         step = self.global_step
         due = step % self.cfg.log_every_n_steps == 0
         if due or images:
+            item = (step, float(self.epoch), metrics if due else None,
+                    images if self.primary else None)
+            if self._sync_metrics:
+                # Lockstep guarding (multi-process): fetch + NaN-check here,
+                # on every host, so a divergence raises at the same step on
+                # all of them instead of stranding peers in a collective.
+                self._log_metric_items([item])
+                self._raise_if_diverged(states, rng)
+                return
             # Hand the DEVICE arrays to the worker; the fetch barrier runs
             # off-thread, overlapped with the next steps' device work.
             # Image panels ride the same queue: on this tunnel one panel set
             # is tens of MB (seconds of link time), and the early cadence
             # logs every 10 s — a synchronous fetch would stall the loop.
-            self._metric_q.put((step, float(self.epoch),
-                                metrics if due else None,
-                                images if self.primary else None))
+            self._metric_q.put(item)
 
     # -------------------------------------------------- async scalar worker
 
@@ -185,7 +200,13 @@ class LoopContext:
             # Drain the backlog: all queued steps ride ONE stacked fetch, so
             # when the loop outruns the tunnel the cost amortizes to ~2
             # round trips per BATCH of logged steps, not per step.
-            items = [self._metric_q.get()]
+            try:
+                first = self._metric_q.get(timeout=0.25)
+            except queue.Empty:
+                if self._stop_event.is_set():  # abort(): exit without drain
+                    return
+                continue
+            items = [first]
             while len(items) < 64:
                 try:
                     items.append(self._metric_q.get_nowait())
@@ -307,10 +328,10 @@ class LoopContext:
         try:
             if self.preemption is not None:
                 self.preemption.restore()
-            try:
-                self._metric_q.put_nowait(None)
-            except queue.Full:
-                pass  # worker is draining; it will see the backlog soon
+            # Event (not a sentinel): a full queue would drop a put_nowait
+            # sentinel and leave the worker blocked in get() forever; the
+            # worker polls this flag between gets.
+            self._stop_event.set()
             self._metric_thread.join(timeout=10.0)
             self.ckpt.wait_until_finished()
             self.tb.flush()

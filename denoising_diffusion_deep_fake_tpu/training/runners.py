@@ -81,6 +81,10 @@ def _spatial(cfg) -> bool:
     return getattr(cfg, "spatial_parallel", 1) > 1
 
 
+def _upload_format(cfg) -> str:
+    return getattr(cfg, "upload_format", "rgb")
+
+
 @contextlib.contextmanager
 def _abort_on_error(ctx: LoopContext):
     """Tear the loop services down on ANY exception escaping the train loop
@@ -154,7 +158,8 @@ def fit_deep_fake(cfg: DeepFakeConfig, *, resume_from: str | None = None,
         for epoch in range(start_epoch, cfg.max_epochs):
             ctx.epoch = epoch
             for (batch_a, _), (batch_b, _) in device_prefetch(
-                    paired.epoch(epoch), mesh, spatial=_spatial(cfg)):
+                    paired.epoch(epoch), mesh, spatial=_spatial(cfg),
+                    upload_format=_upload_format(cfg)):
                 # Per-step key derivation happens inside the jitted step
                 # (from state.step) — no host device-op per iteration; batch
                 # uploads happen ahead on the prefetch thread.
@@ -217,7 +222,8 @@ def fit_denoiser(cfg: DenoiserConfig, *, max_steps: int | None = None,
         for epoch in range(cfg.max_epochs):
             ctx.epoch = epoch
             for batch, _ in device_prefetch(loader.epoch(epoch), mesh,
-                                            spatial=_spatial(cfg)):
+                                            spatial=_spatial(cfg),
+                                            upload_format=_upload_format(cfg)):
                 if ctx.want_images():
                     state, metrics, images = step_img(state, batch, rng)
                     ctx.log_step(metrics, images, states=state, rng=rng)
@@ -281,7 +287,8 @@ def fit_balance(cfg: BalanceConfig, *, max_steps: int | None = None,
         for epoch in range(cfg.max_epochs):
             ctx.epoch = epoch
             for batch, _ in device_prefetch(loader.epoch(epoch), mesh,
-                                            spatial=_spatial(cfg)):
+                                            spatial=_spatial(cfg),
+                                            upload_format=_upload_format(cfg)):
                 if ctx.want_images():
                     state, metrics, images = step_img(state, batch, rng)
                     ctx.log_step(metrics, images, states=state, rng=rng)

@@ -51,7 +51,8 @@ def run_swap(tmpdir):
         noise_exponential_sampling_lambda=8.0, ema_update_after_step=0,
         log_dir=f"{tmpdir}/runs", checkpoint_dir=f"{tmpdir}/ckpt", **_COMMON))
     states, _, ctx = fit_deep_fake(cfg, max_steps=2, verbose=False)
-    assert states.ema_a is not None and states.ema_b is not None
+    assert set(states) == {"a", "b"}
+    assert all(s.ema_params is not None for s in states.values())
     return f"swap trained {ctx.global_step} steps OK"
 
 

@@ -385,8 +385,14 @@ class EfficientNetEncoder(nn.Module):
                 self._blocks.append(
                     MBConv(k, s if j == 0 else 1, e, cin if j == 0 else cout,
                            cout))
-        self.stage_idxs = (reps[0] + reps[1], reps[0] + reps[1] + reps[2],
-                           sum(reps[:5]))
+        # smp's published catalog values (NOT the cumulative-repeat formula:
+        # b0 is (3, 5, 9) — the 1/16 skip taps after the FIRST 112-ch block).
+        self.stage_idxs = {
+            "efficientnet-b0": (3, 5, 9), "efficientnet-b1": (5, 8, 16),
+            "efficientnet-b2": (5, 8, 16), "efficientnet-b3": (5, 8, 18),
+            "efficientnet-b4": (6, 10, 22), "efficientnet-b5": (8, 13, 27),
+            "efficientnet-b6": (9, 15, 31), "efficientnet-b7": (11, 18, 38),
+        }[name]
         self.out_channels = (3, stem, out[3], out[4], out[6], out[8])
         self.drop_connect_rate = 0.2  # set 0 for deterministic train-mode
 
