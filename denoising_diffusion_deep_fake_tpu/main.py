@@ -245,15 +245,18 @@ def import_ckpt(ckpt_path, output_dir):
               help="0 = single-pass parity; N>0 = scanned DDIM refinement.")
 @click.option("--use_ema", is_flag=True, default=False,
               help="Swap through the EMA shadow instead of the online model.")
+@click.option("--transfer", type=click.Choice(["rgb", "i420"]), default="rgb",
+              help="Host<->device wire format; i420 halves transfer bytes "
+                   "(clients can independently pick X-Format per request).")
 def serve(checkpoint_path, model_a_or_b, host, port, width, height,
-          batch_size, max_wait_ms, sampler_steps, use_ema):
+          batch_size, max_wait_ms, sampler_steps, use_ema, transfer):
     """Long-running face-swap inference server (HTTP, micro-batched)."""
     from denoising_diffusion_deep_fake_tpu.serving.server import run_server
 
     run_server(checkpoint_path, model_a_or_b, host=host, port=port,
                height=height, width=width, batch_size=batch_size,
                use_ema=use_ema, sampler_steps=sampler_steps,
-               max_wait_ms=max_wait_ms)
+               max_wait_ms=max_wait_ms, transfer=transfer)
 
 
 if __name__ == "__main__":

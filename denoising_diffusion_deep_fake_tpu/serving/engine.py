@@ -72,20 +72,35 @@ class SwapEngine:
     def __init__(self, checkpoint_path, identity: str, *, height: int,
                  width: int, batch_size: int = 8, use_ema: bool = False,
                  sampler_steps: int = 0, max_wait_ms: float = 5.0,
-                 seed: int = 0):
+                 seed: int = 0, transfer: str = "rgb"):
         import jax
 
         from denoising_diffusion_deep_fake_tpu.inference import (
             load_swap_model, make_device_pipeline)
 
+        if transfer not in ("rgb", "i420"):
+            raise ValueError(f"transfer must be 'rgb' or 'i420', "
+                             f"got {transfer!r}")
+        if transfer == "i420":
+            from denoising_diffusion_deep_fake_tpu.ops.image import (
+                validate_i420_dims)
+
+            validate_i420_dims(height, width)
         self.height, self.width = height, width
         self.batch_size = batch_size
         self.max_wait_s = max_wait_ms / 1000.0
         self.identity = identity
+        # Host<->device wire format. "i420" halves transfer bytes per frame —
+        # the round-2 serving bench saturated this host's tunnel at 16 fps
+        # pushing raw RGB (BASELINE.md); 4:2:0 packing doubles the fps
+        # ceiling on byte-bound links with no output quality loss (the video
+        # path proved the same trade, `data/video.py transfer="i420"`).
+        self.transfer = transfer
         self.model = load_swap_model(checkpoint_path, identity,
                                      use_ema=use_ema, image_size=height)
         self._pipeline = make_device_pipeline(self.model,
-                                              sampler_steps=sampler_steps)
+                                              sampler_steps=sampler_steps,
+                                              transfer=transfer)
         self._key = jax.random.PRNGKey(seed)
         self._queue: queue.Queue = queue.Queue()
         self._stats = EngineStats()
@@ -103,23 +118,58 @@ class SwapEngine:
 
     # ------------------------------------------------------------------ API
 
+    @property
+    def wire_frame_shape(self) -> tuple[int, ...]:
+        """Per-frame shape in the engine's device wire format."""
+        if self.transfer == "i420":
+            return (self.height * 3 // 2, self.width)
+        return (self.height, self.width, 3)
+
     def warmup(self) -> float:
         """Trigger the XLA compile with a zero batch; returns seconds taken."""
         t0 = time.perf_counter()
-        zero = np.zeros((1, self.height, self.width, 3), np.uint8)
-        self.swap(zero)
+        zero = np.zeros((1,) + self.wire_frame_shape, np.uint8)
+        self.swap_wire(zero)
         return time.perf_counter() - t0
 
     def swap(self, rgb_u8: np.ndarray) -> np.ndarray:
-        """Swap a frame or frame stack; blocks until done. Thread-safe."""
-        if self._closed:
-            raise RuntimeError("engine closed")
+        """Swap RGB frame(s); blocks until done. Thread-safe.
+
+        With ``transfer="i420"`` the frames are packed/unpacked with cv2 on
+        THIS (request) thread — host SIMD work that parallelizes across
+        clients — so the device wire still carries half the bytes.
+        """
         squeeze = rgb_u8.ndim == 3
         frames = rgb_u8[None] if squeeze else rgb_u8
         expected = (self.height, self.width, 3)
         if frames.ndim != 4 or frames.shape[1:] != expected:
             raise ValueError(
                 f"expected frames of shape {expected}, got {rgb_u8.shape}")
+        if self.transfer == "i420":
+            import cv2
+
+            from denoising_diffusion_deep_fake_tpu.ops.image import (
+                pack_rgb_batch_to_i420_np)
+
+            packed = self.swap_wire(pack_rgb_batch_to_i420_np(
+                np.ascontiguousarray(frames)))
+            out = np.stack([cv2.cvtColor(p, cv2.COLOR_YUV2RGB_I420)
+                            for p in packed])
+        else:
+            out = self.swap_wire(frames)
+        return out[0] if squeeze else out
+
+    def swap_wire(self, frames: np.ndarray) -> np.ndarray:
+        """Swap frame stack already in the engine's wire format (see
+        ``wire_frame_shape``); the zero-conversion path for clients that
+        speak the same format (HTTP ``X-Format: i420`` pass-through)."""
+        if self._closed:
+            raise RuntimeError("engine closed")
+        expected = self.wire_frame_shape
+        if frames.ndim != len(expected) + 1 or frames.shape[1:] != expected:
+            raise ValueError(
+                f"expected {self.transfer} wire frames of shape {expected}, "
+                f"got {frames.shape}")
         if frames.dtype != np.uint8:
             raise ValueError(f"expected uint8 frames, got {frames.dtype}")
         # Oversize stacks: enqueue EVERY slice before waiting on any, so
@@ -130,9 +180,8 @@ class SwapEngine:
         results = [self._wait(r) for r in requests]
         with self._stats_lock:
             self._stats.requests += 1  # one client call, however many slices
-        out = (results[0] if len(results) == 1
-               else np.concatenate(results, axis=0))
-        return out[0] if squeeze else out
+        return (results[0] if len(results) == 1
+                else np.concatenate(results, axis=0))
 
     def _submit(self, frames: np.ndarray) -> _Request:
         req = _Request(np.ascontiguousarray(frames))
@@ -167,6 +216,7 @@ class SwapEngine:
                 "batch_size": self.batch_size,
                 "identity": self.identity,
                 "frame_shape": [self.height, self.width, 3],
+                "transfer": self.transfer,
             }
 
     def close(self) -> None:
@@ -230,8 +280,8 @@ class SwapEngine:
                 filled = sum(s.shape[0] for s in stacks)
                 pad = self.batch_size - filled
                 if pad:
-                    stacks.append(np.zeros(
-                        (pad, self.height, self.width, 3), np.uint8))
+                    stacks.append(np.zeros((pad,) + self.wire_frame_shape,
+                                           np.uint8))
                 device_batch = np.concatenate(stacks, axis=0)
                 t0 = time.perf_counter()
                 fake = self._pipeline(jnp.asarray(device_batch), self._key,

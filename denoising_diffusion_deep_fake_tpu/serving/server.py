@@ -7,10 +7,16 @@ Endpoints:
 * ``POST /v1/swap``      — body = encoded image (JPEG/PNG, any size; BGR file
                            convention). Center-cropped/resized to the model
                            frame, swapped, returned as JPEG.
-* ``POST /v1/swap_raw``  — body = raw uint8 RGB bytes; header ``X-Shape:
+* ``POST /v1/swap_raw``  — body = raw uint8 frame bytes; header ``X-Shape:
                            H,W,3`` or ``N,H,W,3`` (must match the engine's
-                           frame shape). Returns raw uint8 RGB of the same
+                           frame shape). Returns raw uint8 of the same
                            shape. Zero-copy path for local pipelines.
+                           Optional header ``X-Format: i420`` sends/receives
+                           4:2:0-packed frames instead (``X-Shape: H,W`` or
+                           ``N,H,W`` — frame geometry, body is N*H*3/2*W
+                           bytes): HALF the HTTP bytes each way, and when the
+                           engine runs ``transfer="i420"`` the packed frames
+                           pass straight to the device with zero conversion.
 
 All routes accept ``?identity=a|b`` when the server holds both identities
 (``d3f-tpu serve <ckpt> both``); without the parameter the first engine
@@ -117,6 +123,8 @@ def _make_handler(engines: dict[str, SwapEngine]):
                     "identities": sorted(engines),
                     "frame_shape": [engine.height, engine.width, 3],
                     "batch_size": engine.batch_size,
+                    "transfer": engine.transfer,
+                    "formats": ["rgb", "i420"],
                 })
             elif path == "/v1/stats":
                 self._reply_json(200, engine.stats())
@@ -160,26 +168,75 @@ def _make_handler(engines: dict[str, SwapEngine]):
             self._reply(200, out.tobytes(), "image/jpeg")
 
         def _swap_raw(self, engine: SwapEngine):
+            fmt = self.headers.get("X-Format", "rgb").lower()
+            if fmt not in ("rgb", "i420"):
+                raise ValueError(f"bad X-Format {fmt!r} (rgb or i420)")
             shape_hdr = self.headers.get("X-Shape")
             if not shape_hdr:
-                raise ValueError("missing X-Shape header (H,W,3 or N,H,W,3)")
+                raise ValueError("missing X-Shape header (H,W,3 or N,H,W,3; "
+                                 "H,W or N,H,W with X-Format: i420)")
             shape = tuple(int(s) for s in shape_hdr.split(","))
-            if len(shape) not in (3, 4) or shape[-1] != 3:
-                raise ValueError(f"bad X-Shape {shape_hdr}")
+            if fmt == "rgb":
+                if len(shape) not in (3, 4) or shape[-1] != 3:
+                    raise ValueError(f"bad X-Shape {shape_hdr}")
+                n, h, w = ((1,) + shape[:2] if len(shape) == 3
+                           else shape[:3])
+                body_shape = (n, h, w, 3)
+            else:
+                if len(shape) not in (2, 3):
+                    raise ValueError(
+                        f"bad X-Shape {shape_hdr} for i420 (H,W or N,H,W)")
+                n, h, w = (1,) + shape if len(shape) == 2 else shape
+                from denoising_diffusion_deep_fake_tpu.ops.image import (
+                    validate_i420_dims)
+
+                validate_i420_dims(h, w)
+                body_shape = (n, h * 3 // 2, w)
             body = self._read_body()
-            expected = int(np.prod(shape))
+            expected = int(np.prod(body_shape))
             if len(body) != expected:
                 raise ValueError(
                     f"body has {len(body)} bytes, shape needs {expected}")
-            frames = np.frombuffer(body, np.uint8).reshape(shape)
-            fake = engine.swap(frames)
-            hdr_shape = ",".join(str(s) for s in fake.shape)
+            frames = np.frombuffer(body, np.uint8).reshape(body_shape)
+            fake = self._swap_in_format(engine, frames, fmt)
+            squeeze = (len(shape) == 3 and fmt == "rgb") or (
+                len(shape) == 2 and fmt == "i420")
+            if squeeze:
+                fake = fake[0]
+            hdr_shape = ",".join(str(s) for s in
+                                 ((fake.shape[:-2] + (h, w)) if fmt == "i420"
+                                  else fake.shape))
             self.send_response(200)
             self.send_header("Content-Type", "application/octet-stream")
             self.send_header("X-Shape", hdr_shape)
+            self.send_header("X-Format", fmt)
             self.send_header("Content-Length", str(fake.nbytes))
             self.end_headers()
             self.wfile.write(fake.tobytes())
+
+        @staticmethod
+        def _swap_in_format(engine: SwapEngine, frames: np.ndarray,
+                            fmt: str) -> np.ndarray:
+            """Swap a stack given in wire format ``fmt``; reply in ``fmt``.
+
+            When the client's format matches the engine's device transfer the
+            frames pass straight through (zero host conversions, half the
+            bytes on BOTH hops); mixed cases convert with cv2 on this
+            request thread.
+            """
+            if fmt == engine.transfer:
+                return engine.swap_wire(frames)
+            import cv2
+
+            if fmt == "i420":  # i420 client, rgb engine
+                rgb = np.stack([cv2.cvtColor(f, cv2.COLOR_YUV2RGB_I420)
+                                for f in frames])
+                fake = engine.swap(rgb)
+                from denoising_diffusion_deep_fake_tpu.ops.image import (
+                    pack_rgb_batch_to_i420_np)
+
+                return pack_rgb_batch_to_i420_np(fake)
+            return engine.swap(frames)  # rgb client, i420 engine
 
     return Handler
 
@@ -234,18 +291,20 @@ def run_server(checkpoint_path, identity: str, *, host: str = "0.0.0.0",
                port: int = 8000, height: int = 448, width: int = 448,
                batch_size: int = 8, use_ema: bool = False,
                sampler_steps: int = 0, max_wait_ms: float = 5.0,
-               verbose: bool = True) -> None:
+               transfer: str = "rgb", verbose: bool = True) -> None:
     """CLI entry: load, warm up (compile), then serve until interrupted.
 
     ``identity="both"`` serves a AND b from the one checkpoint (two engines,
-    two compiled pipelines); clients pick with ``?identity=``."""
+    two compiled pipelines); clients pick with ``?identity=``. ``transfer=
+    "i420"`` halves host<->device bytes (byte-bound hosts ~double fps)."""
     identities = ["a", "b"] if identity == "both" else [identity]
     engines = {}
     for name in identities:
         engines[name] = SwapEngine(
             checkpoint_path, name, height=height, width=width,
             batch_size=batch_size, use_ema=use_ema,
-            sampler_steps=sampler_steps, max_wait_ms=max_wait_ms)
+            sampler_steps=sampler_steps, max_wait_ms=max_wait_ms,
+            transfer=transfer)
         if verbose:
             print(f"compiling swap pipeline for '{name}' ({height}x{width}, "
                   f"batch {batch_size}) ...", flush=True)

@@ -203,3 +203,113 @@ def test_serve_both_identities(checkpoint):
             srv.port, "POST", "/v1/swap_raw?identity=c",
             body=frame.tobytes(), headers={"X-Shape": f"1,{SIZE},{SIZE},3"})
         assert status == 400 and b"not served" in data
+
+
+# ----------------------------------------------------------- I420 wire format
+
+
+@pytest.fixture(scope="module")
+def engine_i420(checkpoint):
+    eng = SwapEngine(checkpoint, "a", height=SIZE, width=SIZE, batch_size=4,
+                     max_wait_ms=20.0, transfer="i420")
+    eng.warmup()
+    yield eng
+    eng.close()
+
+
+def test_i420_engine_swap_matches_rgb_engine_closely(engine, engine_i420):
+    """Same checkpoint, rgb vs i420 device wire: outputs differ only by
+    chroma subsampling (bounded), shapes/dtypes identical."""
+    yy, xx = np.mgrid[0:SIZE, 0:SIZE] / SIZE
+    smooth = np.clip(255 * (0.5 + 0.4 * np.sin(
+        2 * np.pi * (0.25 * np.stack([yy, xx, yy * xx], -1)))), 0,
+        255).astype(np.uint8)
+    out_rgb = engine.swap(smooth)
+    out_i420 = engine_i420.swap(smooth)
+    assert out_i420.shape == out_rgb.shape == (SIZE, SIZE, 3)
+    assert out_i420.dtype == np.uint8
+    # Undertrained net amplifies input deltas; just require the outputs to
+    # be in the same neighborhood and not garbage.
+    err = np.abs(out_i420.astype(np.int32) - out_rgb.astype(np.int32))
+    assert err.mean() < 48.0
+
+
+def test_i420_engine_wire_shapes(engine_i420):
+    assert engine_i420.wire_frame_shape == (SIZE * 3 // 2, SIZE)
+    packed = np.zeros((2, SIZE * 3 // 2, SIZE), np.uint8)
+    out = engine_i420.swap_wire(packed)
+    assert out.shape == packed.shape and out.dtype == np.uint8
+    with pytest.raises(ValueError, match="wire frames"):
+        engine_i420.swap_wire(np.zeros((2, SIZE, SIZE, 3), np.uint8))
+
+
+def test_engine_rejects_odd_i420_geometry(checkpoint):
+    with pytest.raises(ValueError, match="height % 4"):
+        SwapEngine(checkpoint, "a", height=30, width=SIZE, transfer="i420")
+
+
+@pytest.fixture(scope="module")
+def server_i420(engine_i420):
+    with SwapServer(engine_i420, port=0) as srv:
+        yield srv
+
+
+def test_swap_raw_i420_passthrough(server_i420):
+    """i420 client + i420 engine: zero conversions, half the bytes each way."""
+    frames = np.random.default_rng(7).integers(
+        0, 256, (2, SIZE, SIZE, 3), dtype=np.uint8)
+    packed = np.stack([cv2.cvtColor(f, cv2.COLOR_RGB2YUV_I420)
+                       for f in frames])
+    assert packed.nbytes == frames.nbytes // 2
+    status, data, headers = _request(
+        server_i420.port, "POST", "/v1/swap_raw", body=packed.tobytes(),
+        headers={"X-Shape": f"2,{SIZE},{SIZE}", "X-Format": "i420"})
+    assert status == 200, data
+    assert headers["X-Format"] == "i420"
+    assert headers["X-Shape"] == f"2,{SIZE},{SIZE}"
+    assert len(data) == packed.nbytes  # reply is packed too
+    out = np.frombuffer(data, np.uint8).reshape(packed.shape)
+    # Decodable as I420 frames.
+    rgb = cv2.cvtColor(out[0], cv2.COLOR_YUV2RGB_I420)
+    assert rgb.shape == (SIZE, SIZE, 3)
+
+
+def test_swap_raw_i420_client_on_rgb_engine(server):
+    """Mixed: i420 HTTP wire, rgb device wire — server converts."""
+    frame = np.random.default_rng(8).integers(
+        0, 256, (SIZE, SIZE, 3), dtype=np.uint8)
+    packed = cv2.cvtColor(frame, cv2.COLOR_RGB2YUV_I420)
+    status, data, headers = _request(
+        server.port, "POST", "/v1/swap_raw", body=packed.tobytes(),
+        headers={"X-Shape": f"{SIZE},{SIZE}", "X-Format": "i420"})
+    assert status == 200, data
+    assert headers["X-Shape"] == f"{SIZE},{SIZE}"
+    out = np.frombuffer(data, np.uint8).reshape(SIZE * 3 // 2, SIZE)
+    assert cv2.cvtColor(out, cv2.COLOR_YUV2RGB_I420).shape == (SIZE, SIZE, 3)
+
+
+def test_swap_raw_rgb_client_on_i420_engine(server_i420):
+    """Mixed the other way: rgb HTTP wire, i420 device wire."""
+    frames = np.random.default_rng(9).integers(
+        0, 256, (1, SIZE, SIZE, 3), dtype=np.uint8)
+    status, data, headers = _request(
+        server_i420.port, "POST", "/v1/swap_raw", body=frames.tobytes(),
+        headers={"X-Shape": f"1,{SIZE},{SIZE},3"})
+    assert status == 200, data
+    assert np.frombuffer(data, np.uint8).reshape(
+        tuple(int(s) for s in headers["X-Shape"].split(","))).shape == \
+        frames.shape
+
+
+def test_swap_raw_i420_rejects_bad_geometry(server_i420):
+    status, data, _ = _request(
+        server_i420.port, "POST", "/v1/swap_raw", body=b"x",
+        headers={"X-Shape": "30,31", "X-Format": "i420"})
+    assert status == 400 and b"height % 4" in data
+
+
+def test_healthz_reports_transfer(server_i420):
+    status, data, _ = _request(server_i420.port, "GET", "/healthz")
+    assert status == 200
+    info = json.loads(data)
+    assert info["transfer"] == "i420" and "i420" in info["formats"]

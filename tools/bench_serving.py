@@ -1,7 +1,11 @@
 """Load-bench the inference server: concurrent clients vs one device batch.
 
-Run with the chip free:  python tools/bench_serving.py [ckpt_dir]
+Run with the chip free:  python tools/bench_serving.py [ckpt_dir] [wire ...]
+
 Without a checkpoint argument, trains one throwaway step at 448² to get one.
+``wire`` rows: "rgb" (default protocol) and/or "i420" (4:2:0-packed frames on
+BOTH hops — client->server HTTP and server->device; half the bytes each way,
+the lever for byte-bound links like this dev tunnel). Default: both.
 
 Measures sustained frames/sec through the full HTTP + micro-batch + device
 path for 1, 4, 8, and 16 concurrent raw-tensor clients, plus single-request
@@ -46,63 +50,66 @@ def make_checkpoint(tmp: Path) -> str:
     return cfg.checkpoint_dir
 
 
-def client_loop(port: int, frames: np.ndarray, stop: threading.Event,
-                counter: list) -> None:
+def _wire_payload(rng, n_frames: int, wire: str):
+    """(body_bytes, headers, frames_per_request) for one client request."""
+    frames = rng.integers(0, 256, (n_frames, SIZE, SIZE, 3), dtype=np.uint8)
+    if wire == "i420":
+        import cv2
+
+        packed = np.stack([cv2.cvtColor(f, cv2.COLOR_RGB2YUV_I420)
+                           for f in frames])
+        return (packed.tobytes(),
+                {"X-Shape": f"{n_frames},{SIZE},{SIZE}", "X-Format": "i420"},
+                n_frames)
+    return (frames.tobytes(),
+            {"X-Shape": f"{n_frames},{SIZE},{SIZE},3"}, n_frames)
+
+
+def client_loop(port: int, body: bytes, headers: dict, n_frames: int,
+                stop: threading.Event, counter: list) -> None:
     conn = http.client.HTTPConnection("127.0.0.1", port, timeout=60)
-    shape = ",".join(str(s) for s in frames.shape)
-    body = frames.tobytes()
     while not stop.is_set():
-        conn.request("POST", "/v1/swap_raw", body=body,
-                     headers={"X-Shape": shape})
+        conn.request("POST", "/v1/swap_raw", body=body, headers=headers)
         resp = conn.getresponse()
         resp.read()
         assert resp.status == 200, resp.status
-        counter[0] += frames.shape[0]
+        counter[0] += n_frames
     conn.close()
 
 
-def main():
-    import tempfile
-
+def bench_wire(ckpt: str, wire: str) -> None:
     from denoising_diffusion_deep_fake_tpu.serving import SwapEngine
     from denoising_diffusion_deep_fake_tpu.serving.server import SwapServer
 
-    if len(sys.argv) > 1:
-        ckpt = sys.argv[1]
-    else:
-        tmp = Path(tempfile.mkdtemp(prefix="bench_serving_"))
-        print(f"# training a throwaway checkpoint at {SIZE}² ...", flush=True)
-        ckpt = make_checkpoint(tmp)
-
     engine = SwapEngine(ckpt, "a", height=SIZE, width=SIZE, batch_size=BATCH,
-                        max_wait_ms=4.0)
+                        max_wait_ms=4.0, transfer=wire)
     secs = engine.warmup()
-    print(f"# compile {secs:.1f}s", flush=True)
+    print(f"# [{wire}] compile {secs:.1f}s", flush=True)
     rng = np.random.default_rng(0)
 
     with SwapServer(engine, port=0) as server:
         # p50 single-request latency (1 frame, lone client).
-        frame = rng.integers(0, 256, (1, SIZE, SIZE, 3), dtype=np.uint8)
+        body, headers, _ = _wire_payload(rng, 1, wire)
         lat = []
         conn = http.client.HTTPConnection("127.0.0.1", server.port, timeout=60)
         for _ in range(30):
             t0 = time.perf_counter()
-            conn.request("POST", "/v1/swap_raw", body=frame.tobytes(),
-                         headers={"X-Shape": f"1,{SIZE},{SIZE},3"})
+            conn.request("POST", "/v1/swap_raw", body=body, headers=headers)
             conn.getresponse().read()
             lat.append((time.perf_counter() - t0) * 1e3)
         conn.close()
-        print(json.dumps({"metric": "serve_p50_latency_1frame_448",
+        print(json.dumps({"metric": f"serve_p50_latency_1frame_448_{wire}",
                           "value": round(float(np.median(lat)), 2),
                           "unit": "ms"}), flush=True)
 
         for n_clients in (1, 4, 8, 16):
-            frames = rng.integers(0, 256, (2, SIZE, SIZE, 3), dtype=np.uint8)
+            body, headers, n_frames = _wire_payload(rng, 2, wire)
             stop = threading.Event()
             counter = [0]
             threads = [threading.Thread(
                 target=client_loop,
-                args=(server.port, frames, stop, counter), daemon=True)
+                args=(server.port, body, headers, n_frames, stop, counter),
+                daemon=True)
                 for _ in range(n_clients)]
             for t in threads:
                 t.start()
@@ -116,9 +123,25 @@ def main():
                 t.join(timeout=30)
             stats = engine.stats()
             print(json.dumps({
-                "metric": f"serve_throughput_{n_clients}clients_448",
+                "metric": f"serve_throughput_{n_clients}clients_448_{wire}",
                 "value": round(fps, 1), "unit": "frames/sec",
                 "batch_occupancy": stats["batch_occupancy"]}), flush=True)
+
+
+def main():
+    import tempfile
+
+    args = sys.argv[1:]
+    wires = [a for a in args if a in ("rgb", "i420")]
+    ckpt_args = [a for a in args if a not in ("rgb", "i420")]
+    if ckpt_args:
+        ckpt = ckpt_args[0]
+    else:
+        tmp = Path(tempfile.mkdtemp(prefix="bench_serving_"))
+        print(f"# training a throwaway checkpoint at {SIZE}² ...", flush=True)
+        ckpt = make_checkpoint(tmp)
+    for wire in (wires or ["rgb", "i420"]):
+        bench_wire(ckpt, wire)
 
 
 if __name__ == "__main__":
