@@ -51,6 +51,7 @@ from denoising_diffusion_deep_fake_tpu.models.resnet import (
     ResNetEncoder,
 )
 from denoising_diffusion_deep_fake_tpu.models.vgg import VGG_SPECS, VGGEncoder
+from denoising_diffusion_deep_fake_tpu.models.xception import XceptionEncoder
 
 
 def make_encoder(encoder_name: str, in_channels: int = 3,
@@ -88,9 +89,12 @@ def make_encoder(encoder_name: str, in_channels: int = 3,
     if encoder_name == "mobilenet_v2":
         return MobileNetV2Encoder(in_channels=in_channels, dtype=dtype,
                                   name="encoder")
+    if encoder_name == "xception":
+        return XceptionEncoder(in_channels=in_channels, dtype=dtype,
+                               name="encoder")
     available = (sorted(RESNET_SPECS) + sorted(VGG_SPECS)
                  + sorted(DENSENET_SPECS) + sorted(EFFICIENTNET_SPECS)
-                 + sorted(SENET_SPECS) + ["mobilenet_v2"])
+                 + sorted(SENET_SPECS) + ["mobilenet_v2", "xception"])
     raise ValueError(
         f"unsupported encoder_name {encoder_name!r}; available: {available}")
 

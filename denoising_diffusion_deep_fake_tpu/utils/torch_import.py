@@ -118,6 +118,41 @@ def _convert_entry(parts: list[str], value: np.ndarray, params: dict,
                 return _bn_entry(["encoder", f"layer0_{parts[2]}"], leaf,
                                  value, params, stats)
             return False
+        # Xception (Cadene naming; models/xception.py mirrors the torch
+        # Sequential indices): encoder.block{i}.rep.{j}.{conv1|pointwise}
+        # (SeparableConv2d) or a BN directly at index j; skip/skipbn;
+        # stem conv2/bn2 and the deep conv3/conv4 SeparableConvs + bn3/bn4.
+        if re.fullmatch(r"block\d+", parts[1]):
+            blk = parts[1]
+            if parts[2] == "rep":
+                name = f"rep{parts[3]}"
+                if len(parts) == 6 and parts[4] in ("conv1", "pointwise"):
+                    if leaf == "weight":
+                        _set(params, ["encoder", blk, name, parts[4],
+                                      "kernel"], _conv_kernel(value))
+                        return True
+                    return False
+                return _bn_entry(["encoder", blk, name], leaf, value,
+                                 params, stats)
+            if parts[2] == "skip" and leaf == "weight":
+                _set(params, ["encoder", blk, "skip", "kernel"],
+                     _conv_kernel(value))
+                return True
+            if parts[2] == "skipbn":
+                return _bn_entry(["encoder", blk, "skipbn"], leaf, value,
+                                 params, stats)
+            return False
+        if parts[1] == "conv2" and len(parts) == 3 and leaf == "weight":
+            _set(params, ["encoder", "conv2", "kernel"], _conv_kernel(value))
+            return True
+        if parts[1] in ("bn2", "bn3", "bn4"):
+            return _bn_entry(["encoder", parts[1]], leaf, value, params,
+                             stats)
+        if (parts[1] in ("conv3", "conv4") and len(parts) == 4
+                and parts[2] in ("conv1", "pointwise") and leaf == "weight"):
+            _set(params, ["encoder", parts[1], parts[2], "kernel"],
+                 _conv_kernel(value))
+            return True
         m = re.fullmatch(r"layer(\d)", parts[1])
         if m:
             block = f"layer{m.group(1)}_{parts[2]}"

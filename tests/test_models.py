@@ -135,7 +135,7 @@ def test_extended_encoder_family_builds(name):
                                   "efficientnet-b7", "se_resnet50",
                                   "se_resnet101", "se_resnet152",
                                   "se_resnext50_32x4d", "se_resnext101_32x4d",
-                                  "senet154"])
+                                  "senet154", "xception"])
 def test_vgg_mobilenet_densenet_unet_builds(name):
     """vgg/mobilenet/densenet encoder families build the right smp-Unet
     topology (tracing only). vgg variants must carry the smp CenterBlock
@@ -182,6 +182,9 @@ def test_vgg_mobilenet_densenet_unet_builds(name):
     ("se_resnext50_32x4d", 34_524_259),
     ("se_resnext101_32x4d", 55_919_779),
     ("senet154", 122_071_779),
+    # Xception: encoder 20,806,952 + omitted fc 2,049,000 == Cadene's
+    # published 22,855,952 total — independent anchor, see test below.
+    ("xception", 28_769_691),
 ])
 def test_vgg_mobilenet_param_count(name, expected):
     model = create_unet(name)
@@ -230,6 +233,23 @@ def test_efficientnet_published_param_count_reconstruction():
     head, last = _round_filters(1280, 1.0), enc.out_channels[-1]
     full = e_count + last * head + 2 * head + head * 1000 + 1000
     assert full == 5_288_548
+
+
+def test_xception_published_param_count_reconstruction():
+    """Independent anchor: encoder params + the (omitted) 1000-class fc
+    reconstruct Cadene/pretrainedmodels' published 22,855,952 total for
+    xception — validates the block/rep wiring against a number we did not
+    produce ourselves."""
+    torch = pytest.importorskip("torch")  # noqa: F841
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+    from torch_cpu_baseline import XceptionEncoder
+
+    enc = XceptionEncoder()
+    e_count = sum(p.numel() for p in enc.parameters())
+    assert e_count + 2048 * 1000 + 1000 == 22_855_952
 
 
 def test_efficientnet_stochastic_depth_gating():

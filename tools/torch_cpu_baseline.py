@@ -520,9 +520,102 @@ class SENetEncoder(nn.Module):
         return feats
 
 
+# Mirrors models/xception.py (Cadene xception.py + smp padding patches).
+
+
+class SeparableConv2d(nn.Module):
+    def __init__(self, cin, cout, stride=1):
+        super().__init__()
+        self.conv1 = nn.Conv2d(cin, cin, 3, stride, 1, groups=cin, bias=False)
+        self.pointwise = nn.Conv2d(cin, cout, 1, bias=False)
+
+    def forward(self, x):
+        return self.pointwise(self.conv1(x))
+
+
+class XceptionBlock(nn.Module):
+    """Cadene Block: the rep Sequential is built with the SAME index layout
+    as models/xception.py's ``block_rep_layout`` (leading-ReLU drop shifts
+    indices for block1)."""
+
+    def __init__(self, cin, cout, reps, stride=1, start_with_relu=True,
+                 grow_first=True):
+        super().__init__()
+        rep = []
+        filters = cin
+        if grow_first:
+            rep += [nn.ReLU(inplace=False), SeparableConv2d(cin, cout),
+                    nn.BatchNorm2d(cout)]
+            filters = cout
+        for _ in range(reps - 1):
+            rep += [nn.ReLU(inplace=False), SeparableConv2d(filters, filters),
+                    nn.BatchNorm2d(filters)]
+        if not grow_first:
+            rep += [nn.ReLU(inplace=False), SeparableConv2d(cin, cout),
+                    nn.BatchNorm2d(cout)]
+        if not start_with_relu:
+            rep = rep[1:]
+        if stride != 1:
+            rep.append(nn.MaxPool2d(3, stride, 1))
+        self.rep = nn.Sequential(*rep)
+        self.skip = self.skipbn = None
+        if stride != 1 or cin != cout:
+            self.skip = nn.Conv2d(cin, cout, 1, stride, bias=False)
+            self.skipbn = nn.BatchNorm2d(cout)
+
+    def forward(self, x):
+        skip = self.skipbn(self.skip(x)) if self.skip is not None else x
+        return self.rep(x) + skip
+
+
+class XceptionEncoder(nn.Module):
+    """smp XceptionEncoder: stem(pad-1 patched)/block1/block2/block3-11/
+    block12+conv3,4; deepest stage ends at bn4 with NO trailing ReLU
+    (``Xception.features()`` ending; see models/xception.py)."""
+
+    _BLOCKS = ((64, 128, 2, 2, False, True), (128, 256, 2, 2, True, True),
+               (256, 728, 2, 2, True, True),
+               *(((728, 728, 3, 1, True, True),) * 8),
+               (728, 1024, 2, 2, True, False))
+
+    def __init__(self, name="xception"):
+        super().__init__()
+        self.conv1 = nn.Conv2d(3, 32, 3, 2, 1, bias=False)  # smp pad patch
+        self.bn1 = nn.BatchNorm2d(32)
+        self.conv2 = nn.Conv2d(32, 64, 3, 1, 1, bias=False)  # smp pad patch
+        self.bn2 = nn.BatchNorm2d(64)
+        for i, args in enumerate(self._BLOCKS, start=1):
+            setattr(self, f"block{i}", XceptionBlock(*args))
+        self.conv3 = SeparableConv2d(1024, 1536)
+        self.bn3 = nn.BatchNorm2d(1536)
+        self.conv4 = SeparableConv2d(1536, 2048)
+        self.bn4 = nn.BatchNorm2d(2048)
+        self.out_channels = (3, 64, 128, 256, 728, 2048)
+
+    def forward(self, x):
+        feats = [x]
+        y = torch.relu(self.bn1(self.conv1(x)))
+        y = torch.relu(self.bn2(self.conv2(y)))
+        feats.append(y)
+        y = self.block1(y)
+        feats.append(y)
+        y = self.block2(y)
+        feats.append(y)
+        for i in range(3, 12):
+            y = getattr(self, f"block{i}")(y)
+        feats.append(y)
+        y = self.block12(y)
+        y = torch.relu(self.bn3(self.conv3(y)))
+        y = self.bn4(self.conv4(y))
+        feats.append(y)
+        return feats
+
+
 def make_encoder(name):
     if name in ENCODER_SPECS:
         return ResnetEncoder(name)
+    if name == "xception":
+        return XceptionEncoder(name)
     if name in SENET_SPECS:
         return SENetEncoder(name)
     if name.partition("_")[0] in VGG_LAYOUTS:
