@@ -287,6 +287,43 @@ def _features_entry(parts: list[str], leaf: str, value: np.ndarray,
                              stats)
         return False
 
+    # InceptionV4 (Cadene): stem BasicConv2d (features.<i>.{conv,bn}.<leaf>),
+    # Mixed_3a/5a 'conv' BasicConv2d (features.<i>.conv.{conv,bn}.<leaf>),
+    # and branch modules — single BasicConv2d (features.<i>.branchX.{conv,bn})
+    # or Sequential (features.<i>.branchX.<j>.{conv,bn}) -> branchX_<j>.
+    if len(parts) == 5 and parts[3] in ("conv", "bn"):
+        if parts[3] == "conv":
+            if leaf == "weight":
+                _set(params, ["encoder", block, "conv", "kernel"],
+                     _conv_kernel(value))
+                return True
+            return False
+        return _bn_entry(["encoder", block, "bn"], leaf, value, params, stats)
+    if len(parts) == 6 and parts[3] == "conv" and parts[4] in ("conv", "bn"):
+        if parts[4] == "conv":
+            if leaf == "weight":
+                _set(params, ["encoder", block, "conv", "conv", "kernel"],
+                     _conv_kernel(value))
+                return True
+            return False
+        return _bn_entry(["encoder", block, "conv", "bn"], leaf, value,
+                         params, stats)
+    if parts[3].startswith("branch"):
+        if len(parts) == 7:
+            name, sub = f"{parts[3]}_{parts[4]}", parts[5]
+        elif len(parts) == 6:
+            name, sub = parts[3], parts[4]
+        else:
+            return False
+        if sub == "conv" and leaf == "weight":
+            _set(params, ["encoder", block, name, "conv", "kernel"],
+                 _conv_kernel(value))
+            return True
+        if sub == "bn":
+            return _bn_entry(["encoder", block, name, "bn"], leaf, value,
+                             params, stats)
+        return False
+
     # MobileNetV2 InvertedResidual: encoder.features.<i>.conv.<k>[.<j>].<leaf>
     if parts[3] == "conv":
         k = parts[4]

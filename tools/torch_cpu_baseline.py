@@ -611,11 +611,140 @@ class XceptionEncoder(nn.Module):
         return feats
 
 
+# Mirrors models/inceptionv4.py (Cadene inceptionv4.py + smp pad patches:
+# every 3x3 conv and every maxpool gets padding 1).
+
+
+class BasicConv2dI(nn.Module):
+    """Cadene BasicConv2d (inception families): conv+BN(eps 1e-3)+ReLU."""
+
+    def __init__(self, cin, cout, kernel_size, stride=1, padding=0):
+        super().__init__()
+        self.conv = nn.Conv2d(cin, cout, kernel_size, stride, padding,
+                              bias=False)
+        self.bn = nn.BatchNorm2d(cout, eps=1e-3)
+
+    def forward(self, x):
+        return torch.relu(self.bn(self.conv(x)))
+
+
+class _AvgPoolNC(nn.Module):
+    def forward(self, x):
+        return nn.functional.avg_pool2d(x, 3, 1, 1, count_include_pad=False)
+
+
+class _IV4Mixed(nn.Module):
+    """One inceptionv4 features module; ``kind`` picks the torch wiring
+    (see models/inceptionv4.py). Attribute names match Cadene exactly."""
+
+    def __init__(self, kind):
+        super().__init__()
+        self.kind = kind
+        B, S = BasicConv2dI, nn.Sequential
+        if kind == "mixed_3a":
+            self.maxpool = nn.MaxPool2d(3, 2, 1)
+            self.conv = B(64, 96, 3, 2, 1)
+        elif kind == "mixed_4a":
+            self.branch0 = S(B(160, 64, 1), B(64, 96, 3, 1, 1))
+            self.branch1 = S(B(160, 64, 1), B(64, 64, (1, 7), 1, (0, 3)),
+                             B(64, 64, (7, 1), 1, (3, 0)), B(64, 96, 3, 1, 1))
+        elif kind == "mixed_5a":
+            self.conv = B(192, 192, 3, 2, 1)
+            self.maxpool = nn.MaxPool2d(3, 2, 1)
+        elif kind == "inception_a":
+            self.branch0 = B(384, 96, 1)
+            self.branch1 = S(B(384, 64, 1), B(64, 96, 3, 1, 1))
+            self.branch2 = S(B(384, 64, 1), B(64, 96, 3, 1, 1),
+                             B(96, 96, 3, 1, 1))
+            self.branch3 = S(_AvgPoolNC(), B(384, 96, 1))
+        elif kind == "reduction_a":
+            self.branch0 = B(384, 384, 3, 2, 1)
+            self.branch1 = S(B(384, 192, 1), B(192, 224, 3, 1, 1),
+                             B(224, 256, 3, 2, 1))
+            self.branch2 = nn.MaxPool2d(3, 2, 1)
+        elif kind == "inception_b":
+            self.branch0 = B(1024, 384, 1)
+            self.branch1 = S(B(1024, 192, 1), B(192, 224, (1, 7), 1, (0, 3)),
+                             B(224, 256, (7, 1), 1, (3, 0)))
+            self.branch2 = S(B(1024, 192, 1), B(192, 192, (7, 1), 1, (3, 0)),
+                             B(192, 224, (1, 7), 1, (0, 3)),
+                             B(224, 224, (7, 1), 1, (3, 0)),
+                             B(224, 256, (1, 7), 1, (0, 3)))
+            self.branch3 = S(_AvgPoolNC(), B(1024, 128, 1))
+        elif kind == "reduction_b":
+            self.branch0 = S(B(1024, 192, 1), B(192, 192, 3, 2, 1))
+            self.branch1 = S(B(1024, 256, 1), B(256, 256, (1, 7), 1, (0, 3)),
+                             B(256, 320, (7, 1), 1, (3, 0)),
+                             B(320, 320, 3, 2, 1))
+            self.branch2 = nn.MaxPool2d(3, 2, 1)
+        else:  # inception_c
+            self.branch0 = B(1536, 256, 1)
+            self.branch1_0 = B(1536, 384, 1)
+            self.branch1_1a = B(384, 256, (1, 3), 1, (0, 1))
+            self.branch1_1b = B(384, 256, (3, 1), 1, (1, 0))
+            self.branch2_0 = B(1536, 384, 1)
+            self.branch2_1 = B(384, 448, (3, 1), 1, (1, 0))
+            self.branch2_2 = B(448, 512, (1, 3), 1, (0, 1))
+            self.branch2_3a = B(512, 256, (1, 3), 1, (0, 1))
+            self.branch2_3b = B(512, 256, (3, 1), 1, (1, 0))
+            self.branch3 = S(_AvgPoolNC(), B(1536, 256, 1))
+
+    def forward(self, x):
+        k = self.kind
+        if k == "mixed_3a":
+            return torch.cat([self.maxpool(x), self.conv(x)], 1)
+        if k == "mixed_5a":
+            return torch.cat([self.conv(x), self.maxpool(x)], 1)
+        if k == "mixed_4a":
+            return torch.cat([self.branch0(x), self.branch1(x)], 1)
+        if k in ("inception_a", "inception_b"):
+            return torch.cat([self.branch0(x), self.branch1(x),
+                              self.branch2(x), self.branch3(x)], 1)
+        if k in ("reduction_a", "reduction_b"):
+            return torch.cat([self.branch0(x), self.branch1(x),
+                              self.branch2(x)], 1)
+        x1_0 = self.branch1_0(x)
+        x1 = torch.cat([self.branch1_1a(x1_0), self.branch1_1b(x1_0)], 1)
+        x2 = self.branch2_2(self.branch2_1(self.branch2_0(x)))
+        x2 = torch.cat([self.branch2_3a(x2), self.branch2_3b(x2)], 1)
+        return torch.cat([self.branch0(x), x1, x2, self.branch3(x)], 1)
+
+
+class InceptionV4Encoder(nn.Module):
+    """smp InceptionV4Encoder: 22-module features, stage_idxs (3,5,9,15)."""
+
+    _KINDS = (("mixed_3a",) + ("mixed_4a",) + ("mixed_5a",)
+              + ("inception_a",) * 4 + ("reduction_a",)
+              + ("inception_b",) * 7 + ("reduction_b",)
+              + ("inception_c",) * 3)
+
+    def __init__(self, name="inceptionv4"):
+        super().__init__()
+        stem = [BasicConv2dI(3, 32, 3, 2, 1), BasicConv2dI(32, 32, 3, 1, 1),
+                BasicConv2dI(32, 64, 3, 1, 1)]
+        self.features = nn.Sequential(
+            *stem, *[_IV4Mixed(k) for k in self._KINDS])
+        self.stage_idxs = (3, 5, 9, 15)
+        self.out_channels = (3, 64, 192, 384, 1024, 1536)
+
+    def forward(self, x):
+        feats = [x]
+        y = x
+        for i, m in enumerate(self.features):
+            if i in self.stage_idxs:
+                feats.append(y)
+            y = m(y)
+        feats.append(y)
+        return feats
+
+
 def make_encoder(name):
     if name in ENCODER_SPECS:
         return ResnetEncoder(name)
     if name == "xception":
         return XceptionEncoder(name)
+    if name == "inceptionv4":
+        return InceptionV4Encoder(name)
     if name in SENET_SPECS:
         return SENetEncoder(name)
     if name.partition("_")[0] in VGG_LAYOUTS:
