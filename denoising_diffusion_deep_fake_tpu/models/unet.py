@@ -51,6 +51,9 @@ from denoising_diffusion_deep_fake_tpu.models.resnet import (
     ResNetEncoder,
 )
 from denoising_diffusion_deep_fake_tpu.models.vgg import VGG_SPECS, VGGEncoder
+from denoising_diffusion_deep_fake_tpu.models.inceptionresnetv2 import (
+    InceptionResNetV2Encoder,
+)
 from denoising_diffusion_deep_fake_tpu.models.inceptionv4 import (
     InceptionV4Encoder,
 )
@@ -98,10 +101,14 @@ def make_encoder(encoder_name: str, in_channels: int = 3,
     if encoder_name == "inceptionv4":
         return InceptionV4Encoder(in_channels=in_channels, dtype=dtype,
                                   name="encoder")
+    if encoder_name == "inceptionresnetv2":
+        return InceptionResNetV2Encoder(in_channels=in_channels, dtype=dtype,
+                                        name="encoder")
     available = (sorted(RESNET_SPECS) + sorted(VGG_SPECS)
                  + sorted(DENSENET_SPECS) + sorted(EFFICIENTNET_SPECS)
                  + sorted(SENET_SPECS)
-                 + ["inceptionv4", "mobilenet_v2", "xception"])
+                 + ["inceptionresnetv2", "inceptionv4", "mobilenet_v2",
+                    "xception"])
     raise ValueError(
         f"unsupported encoder_name {encoder_name!r}; available: {available}")
 

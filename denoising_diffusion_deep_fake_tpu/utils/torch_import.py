@@ -118,6 +118,21 @@ def _convert_entry(parts: list[str], value: np.ndarray, params: dict,
                 return _bn_entry(["encoder", f"layer0_{parts[2]}"], leaf,
                                  value, params, stats)
             return False
+        # Inception-ResNet-v2 (Cadene named attributes): BasicConv2d stems
+        # (conv2d_*), mixed_5b/6a/7a branch modules, repeat/repeat_1/repeat_2
+        # Sequentials of residual blocks (flattened to repeat[_k]_{i}), and
+        # the standalone block8 (distinguished from xception's block8 by its
+        # branch*/conv2d children).
+        if parts[1].startswith("conv2d_") or parts[1].startswith("mixed_"):
+            return _ir_module_entry(["encoder", parts[1]], parts[2:], leaf,
+                                    value, params, stats)
+        if parts[1] in ("repeat", "repeat_1", "repeat_2") and len(parts) > 3:
+            return _ir_module_entry(["encoder", f"{parts[1]}_{parts[2]}"],
+                                    parts[3:], leaf, value, params, stats)
+        if parts[1] == "block8" and parts[2] in ("branch0", "branch1",
+                                                 "conv2d"):
+            return _ir_module_entry(["encoder", "block8"], parts[2:], leaf,
+                                    value, params, stats)
         # Xception (Cadene naming; models/xception.py mirrors the torch
         # Sequential indices): encoder.block{i}.rep.{j}.{conv1|pointwise}
         # (SeparableConv2d) or a BN directly at index j; skip/skipbn;
@@ -217,6 +232,42 @@ def _convert_entry(parts: list[str], value: np.ndarray, params: dict,
         if leaf == "bias":
             _set(params, ["segmentation_head", "bias"], value)
             return True
+    return False
+
+
+def _ir_module_entry(base: list[str], rest: list[str], leaf: str,
+                     value: np.ndarray, params: dict, stats: dict) -> bool:
+    """Keys inside one Cadene inception-resnet module (after its name):
+    ``{conv,bn}.<leaf>`` (BasicConv2d body), ``conv2d.<leaf>`` (the plain
+    biased up-projection), ``branchX[.j].{conv,bn}.<leaf>``."""
+    if len(rest) == 2 and rest[0] in ("conv", "bn"):
+        if rest[0] == "conv":
+            if leaf == "weight":
+                _set(params, base + ["conv", "kernel"], _conv_kernel(value))
+                return True
+            return False
+        return _bn_entry(base + ["bn"], leaf, value, params, stats)
+    if len(rest) == 2 and rest[0] == "conv2d":
+        if leaf == "weight":
+            _set(params, base + ["conv2d", "kernel"], _conv_kernel(value))
+            return True
+        if leaf == "bias":
+            _set(params, base + ["conv2d", "bias"], value)
+            return True
+        return False
+    if rest and rest[0].startswith("branch"):
+        if len(rest) == 3:
+            name, sub = rest[0], rest[1]
+        elif len(rest) == 4:
+            name, sub = f"{rest[0]}_{rest[1]}", rest[2]
+        else:
+            return False
+        if sub == "conv" and leaf == "weight":
+            _set(params, base + [name, "conv", "kernel"],
+                 _conv_kernel(value))
+            return True
+        if sub == "bn":
+            return _bn_entry(base + [name, "bn"], leaf, value, params, stats)
     return False
 
 

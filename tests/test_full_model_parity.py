@@ -54,7 +54,8 @@ def psnr(a: np.ndarray, b: np.ndarray, peak: float) -> float:
 @pytest.fixture(scope="module",
                 params=["resnet34", "resnet50", "vgg11_bn", "mobilenet_v2",
                         "densenet121", "efficientnet-b0", "se_resnet50",
-                        "senet154", "xception", "inceptionv4"])
+                        "senet154", "xception", "inceptionv4",
+                        "inceptionresnetv2"])
 def models(request):
     from torch_cpu_baseline import UnetSMP
 

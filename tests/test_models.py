@@ -135,7 +135,8 @@ def test_extended_encoder_family_builds(name):
                                   "efficientnet-b7", "se_resnet50",
                                   "se_resnet101", "se_resnet152",
                                   "se_resnext50_32x4d", "se_resnext101_32x4d",
-                                  "senet154", "xception", "inceptionv4"])
+                                  "senet154", "xception", "inceptionv4",
+                                  "inceptionresnetv2"])
 def test_vgg_mobilenet_densenet_unet_builds(name):
     """vgg/mobilenet/densenet encoder families build the right smp-Unet
     topology (tracing only). vgg variants must carry the smp CenterBlock
@@ -188,6 +189,9 @@ def test_vgg_mobilenet_densenet_unet_builds(name):
     # InceptionV4: encoder 41,142,816 + omitted 1000-class fc 1,537,000 ==
     # Cadene's published 42,679,816 total — independent anchor, test below.
     ("inceptionv4", 48_792_211),
+    # Inception-ResNet-v2: encoder 54,306,464 + omitted 1000-class fc
+    # 1,537,000 == Cadene's published 55,843,464 — anchor test below.
+    ("inceptionresnetv2", 62_029_587),
 ])
 def test_vgg_mobilenet_param_count(name, expected):
     model = create_unet(name)
@@ -269,6 +273,22 @@ def test_inceptionv4_published_param_count_reconstruction():
     enc = InceptionV4Encoder()
     e_count = sum(p.numel() for p in enc.parameters())
     assert e_count + 1536 * 1000 + 1000 == 42_679_816
+
+
+def test_inceptionresnetv2_published_param_count_reconstruction():
+    """Independent anchor: encoder params + the (omitted) 1000-class
+    last_linear reconstruct Cadene/pretrainedmodels' published 55,843,464
+    total for inceptionresnetv2."""
+    torch = pytest.importorskip("torch")  # noqa: F841
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+    from torch_cpu_baseline import InceptionResNetV2Encoder
+
+    enc = InceptionResNetV2Encoder()
+    e_count = sum(p.numel() for p in enc.parameters())
+    assert e_count + 1536 * 1000 + 1000 == 55_843_464
 
 
 def test_efficientnet_stochastic_depth_gating():

@@ -738,6 +738,115 @@ class InceptionV4Encoder(nn.Module):
         return feats
 
 
+# Mirrors models/inceptionresnetv2.py (Cadene inceptionresnetv2.py + smp
+# pad patches). Attribute names match Cadene exactly.
+
+
+class _IRBlock(nn.Module):
+    """Block35/Block17/Block8: branches -> biased 1x1 conv2d (no BN) ->
+    relu(x + scale*out) (no relu on the final standalone block8)."""
+
+    def __init__(self, kind, scale, relu=True):
+        super().__init__()
+        self.scale, self.do_relu = scale, relu
+        B, S = BasicConv2dI, nn.Sequential
+        if kind == "block35":
+            self.branch0 = B(320, 32, 1)
+            self.branch1 = S(B(320, 32, 1), B(32, 32, 3, 1, 1))
+            self.branch2 = S(B(320, 32, 1), B(32, 48, 3, 1, 1),
+                             B(48, 64, 3, 1, 1))
+            self.conv2d = nn.Conv2d(128, 320, 1)
+        elif kind == "block17":
+            self.branch0 = B(1088, 192, 1)
+            self.branch1 = S(B(1088, 128, 1), B(128, 160, (1, 7), 1, (0, 3)),
+                             B(160, 192, (7, 1), 1, (3, 0)))
+            self.conv2d = nn.Conv2d(384, 1088, 1)
+        else:
+            self.branch0 = B(2080, 192, 1)
+            self.branch1 = S(B(2080, 192, 1), B(192, 224, (1, 3), 1, (0, 1)),
+                             B(224, 256, (3, 1), 1, (1, 0)))
+            self.conv2d = nn.Conv2d(448, 2080, 1)
+        self.has_branch2 = kind == "block35"
+
+    def forward(self, x):
+        outs = [self.branch0(x), self.branch1(x)]
+        if self.has_branch2:
+            outs.append(self.branch2(x))
+        y = x + self.scale * self.conv2d(torch.cat(outs, 1))
+        return torch.relu(y) if self.do_relu else y
+
+
+class _IRMixed(nn.Module):
+    def __init__(self, kind):
+        super().__init__()
+        self.kind = kind
+        B, S = BasicConv2dI, nn.Sequential
+        if kind == "mixed_5b":
+            self.branch0 = B(192, 96, 1)
+            self.branch1 = S(B(192, 48, 1), B(48, 64, 5, 1, 2))
+            self.branch2 = S(B(192, 64, 1), B(64, 96, 3, 1, 1),
+                             B(96, 96, 3, 1, 1))
+            self.branch3 = S(_AvgPoolNC(), B(192, 64, 1))
+        elif kind == "mixed_6a":
+            self.branch0 = B(320, 384, 3, 2, 1)
+            self.branch1 = S(B(320, 256, 1), B(256, 256, 3, 1, 1),
+                             B(256, 384, 3, 2, 1))
+            self.branch2 = nn.MaxPool2d(3, 2, 1)
+        else:  # mixed_7a
+            self.branch0 = S(B(1088, 256, 1), B(256, 384, 3, 2, 1))
+            self.branch1 = S(B(1088, 256, 1), B(256, 288, 3, 2, 1))
+            self.branch2 = S(B(1088, 256, 1), B(256, 288, 3, 1, 1),
+                             B(288, 320, 3, 2, 1))
+            self.branch3 = nn.MaxPool2d(3, 2, 1)
+
+    def forward(self, x):
+        outs = [self.branch0(x), self.branch1(x), self.branch2(x)]
+        if self.kind != "mixed_6a":
+            outs.append(self.branch3(x))
+        return torch.cat(outs, 1)
+
+
+class InceptionResNetV2Encoder(nn.Module):
+    """smp InceptionResNetV2Encoder staging (see
+    models/inceptionresnetv2.py docstring)."""
+
+    def __init__(self, name="inceptionresnetv2"):
+        super().__init__()
+        self.conv2d_1a = BasicConv2dI(3, 32, 3, 2, 1)
+        self.conv2d_2a = BasicConv2dI(32, 32, 3, 1, 1)
+        self.conv2d_2b = BasicConv2dI(32, 64, 3, 1, 1)
+        self.maxpool_3a = nn.MaxPool2d(3, 2, 1)
+        self.conv2d_3b = BasicConv2dI(64, 80, 1)
+        self.conv2d_4a = BasicConv2dI(80, 192, 3, 1, 1)
+        self.maxpool_5a = nn.MaxPool2d(3, 2, 1)
+        self.mixed_5b = _IRMixed("mixed_5b")
+        self.repeat = nn.Sequential(
+            *[_IRBlock("block35", 0.17) for _ in range(10)])
+        self.mixed_6a = _IRMixed("mixed_6a")
+        self.repeat_1 = nn.Sequential(
+            *[_IRBlock("block17", 0.10) for _ in range(20)])
+        self.mixed_7a = _IRMixed("mixed_7a")
+        self.repeat_2 = nn.Sequential(
+            *[_IRBlock("block8", 0.20) for _ in range(9)])
+        self.block8 = _IRBlock("block8", 1.0, relu=False)
+        self.conv2d_7b = BasicConv2dI(2080, 1536, 1)
+        self.out_channels = (3, 64, 192, 320, 1088, 1536)
+
+    def forward(self, x):
+        feats = [x]
+        y = self.conv2d_2b(self.conv2d_2a(self.conv2d_1a(x)))
+        feats.append(y)
+        y = self.conv2d_4a(self.conv2d_3b(self.maxpool_3a(y)))
+        feats.append(y)
+        y = self.repeat(self.mixed_5b(self.maxpool_5a(y)))
+        feats.append(y)
+        y = self.repeat_1(self.mixed_6a(y))
+        feats.append(y)
+        y = self.conv2d_7b(self.block8(self.repeat_2(self.mixed_7a(y))))
+        feats.append(y)
+        return feats
+
+
 def make_encoder(name):
     if name in ENCODER_SPECS:
         return ResnetEncoder(name)
@@ -745,6 +854,8 @@ def make_encoder(name):
         return XceptionEncoder(name)
     if name == "inceptionv4":
         return InceptionV4Encoder(name)
+    if name == "inceptionresnetv2":
+        return InceptionResNetV2Encoder(name)
     if name in SENET_SPECS:
         return SENetEncoder(name)
     if name.partition("_")[0] in VGG_LAYOUTS:
