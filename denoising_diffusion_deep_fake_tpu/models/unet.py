@@ -51,6 +51,10 @@ from denoising_diffusion_deep_fake_tpu.models.resnet import (
     ResNetEncoder,
 )
 from denoising_diffusion_deep_fake_tpu.models.vgg import VGG_SPECS, VGGEncoder
+from denoising_diffusion_deep_fake_tpu.models.dpn import (
+    DPN_SPECS,
+    DPNEncoder,
+)
 from denoising_diffusion_deep_fake_tpu.models.inceptionresnetv2 import (
     InceptionResNetV2Encoder,
 )
@@ -104,9 +108,12 @@ def make_encoder(encoder_name: str, in_channels: int = 3,
     if encoder_name == "inceptionresnetv2":
         return InceptionResNetV2Encoder(in_channels=in_channels, dtype=dtype,
                                         name="encoder")
+    if encoder_name in DPN_SPECS:
+        return DPNEncoder(encoder_name=encoder_name, in_channels=in_channels,
+                          dtype=dtype, name="encoder")
     available = (sorted(RESNET_SPECS) + sorted(VGG_SPECS)
                  + sorted(DENSENET_SPECS) + sorted(EFFICIENTNET_SPECS)
-                 + sorted(SENET_SPECS)
+                 + sorted(SENET_SPECS) + sorted(DPN_SPECS)
                  + ["inceptionresnetv2", "inceptionv4", "mobilenet_v2",
                     "xception"])
     raise ValueError(

@@ -310,6 +310,35 @@ def _features_entry(parts: list[str], leaf: str, value: np.ndarray,
                     return True
                 return False
             return _bn_entry(["encoder", name], leaf, value, params, stats)
+        # DPN (pretrainedmodels OrderedDict features): conv1_1 stem (flat
+        # names here), convK_i blocks with BnActConv2d / CatBnAct children,
+        # conv5_bn_ac tail, dpn68b's plain c1x1_c1/c1x1_c2 convs.
+        if idx == "conv1_1":
+            if parts[3] == "conv" and leaf == "weight":
+                _set(params, ["encoder", "conv1_1_conv", "kernel"],
+                     _conv_kernel(value))
+                return True
+            if parts[3] == "bn":
+                return _bn_entry(["encoder", "conv1_1_bn"], leaf, value,
+                                 params, stats)
+            return False
+        if idx == "conv5_bn_ac" and parts[3] == "bn":
+            return _bn_entry(["encoder", "conv5_bn_ac", "bn"], leaf, value,
+                             params, stats)
+        if re.fullmatch(r"conv\d_\d+", idx):
+            sub = parts[3]
+            if (sub in ("c1x1_c1", "c1x1_c2") and len(parts) == 5
+                    and leaf == "weight"):
+                _set(params, ["encoder", idx, sub, "kernel"],
+                     _conv_kernel(value))
+                return True
+            if len(parts) == 6 and parts[4] == "conv" and leaf == "weight":
+                _set(params, ["encoder", idx, sub, "conv", "kernel"],
+                     _conv_kernel(value))
+                return True
+            if len(parts) == 6 and parts[4] == "bn":
+                return _bn_entry(["encoder", idx, sub, "bn"], leaf, value,
+                                 params, stats)
         return False
 
     block = f"features_{idx}"

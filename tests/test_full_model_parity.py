@@ -55,7 +55,7 @@ def psnr(a: np.ndarray, b: np.ndarray, peak: float) -> float:
                 params=["resnet34", "resnet50", "vgg11_bn", "mobilenet_v2",
                         "densenet121", "efficientnet-b0", "se_resnet50",
                         "senet154", "xception", "inceptionv4",
-                        "inceptionresnetv2"])
+                        "inceptionresnetv2", "dpn68b", "dpn92"])
 def models(request):
     from torch_cpu_baseline import UnetSMP
 

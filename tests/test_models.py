@@ -136,7 +136,8 @@ def test_extended_encoder_family_builds(name):
                                   "se_resnet101", "se_resnet152",
                                   "se_resnext50_32x4d", "se_resnext101_32x4d",
                                   "senet154", "xception", "inceptionv4",
-                                  "inceptionresnetv2"])
+                                  "inceptionresnetv2", "dpn68", "dpn68b",
+                                  "dpn92", "dpn98", "dpn107", "dpn131"])
 def test_vgg_mobilenet_densenet_unet_builds(name):
     """vgg/mobilenet/densenet encoder families build the right smp-Unet
     topology (tracing only). vgg variants must carry the smp CenterBlock
@@ -192,6 +193,12 @@ def test_vgg_mobilenet_densenet_unet_builds(name):
     # Inception-ResNet-v2: encoder 54,306,464 + omitted 1000-class fc
     # 1,537,000 == Cadene's published 55,843,464 — anchor test below.
     ("inceptionresnetv2", 62_029_587),
+    # DPN: encoder + omitted 1000-class classifier reconstructs the
+    # published totals for dpn68/98/107/131 exactly (test below); dpn92 is
+    # replica-pinned (see docs/PARITY.md).
+    ("dpn68", 16_951_773),
+    ("dpn68b", 16_951_773),  # b-variant splits c1x1_c: same param count
+    ("dpn92", 46_951_091),
 ])
 def test_vgg_mobilenet_param_count(name, expected):
     model = create_unet(name)
@@ -289,6 +296,28 @@ def test_inceptionresnetv2_published_param_count_reconstruction():
     enc = InceptionResNetV2Encoder()
     e_count = sum(p.numel() for p in enc.parameters())
     assert e_count + 1536 * 1000 + 1000 == 55_843_464
+
+
+@pytest.mark.parametrize("name,published", [
+    ("dpn68", 12_611_602), ("dpn98", 61_570_728),
+    ("dpn107", 86_917_800), ("dpn131", 79_254_504),
+])
+def test_dpn_published_param_count_reconstruction(name, published):
+    """Independent anchors: encoder params + the (omitted) 1000-class 1x1
+    conv classifier reconstruct Cadene/pretrainedmodels' published totals
+    for four of the six dpn variants (dpn68b shares dpn68's count by
+    construction; dpn92 is replica-pinned — docs/PARITY.md)."""
+    torch = pytest.importorskip("torch")  # noqa: F841
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+    from torch_cpu_baseline import DPNEncoder
+
+    enc = DPNEncoder(name)
+    e_count = sum(p.numel() for p in enc.parameters())
+    last = enc.out_channels[-1]
+    assert e_count + last * 1000 + 1000 == published
 
 
 def test_efficientnet_stochastic_depth_gating():

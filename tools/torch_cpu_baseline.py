@@ -847,9 +847,128 @@ class InceptionResNetV2Encoder(nn.Module):
         return feats
 
 
+# Mirrors models/dpn.py (pretrainedmodels dpn.py wiring; see its docstring).
+DPN_SPECS = {
+    # stage_idxs, out_channels, small, init, k_r, groups, b, k_sec, inc_sec
+    "dpn68": ((4, 8, 20, 24), (3, 10, 144, 320, 704, 832), True, 10, 128,
+              32, False, (3, 4, 12, 3), (16, 32, 32, 64)),
+    "dpn68b": ((4, 8, 20, 24), (3, 10, 144, 320, 704, 832), True, 10, 128,
+               32, True, (3, 4, 12, 3), (16, 32, 32, 64)),
+    "dpn92": ((4, 8, 28, 32), (3, 64, 336, 704, 1552, 2688), False, 64, 96,
+              32, False, (3, 4, 20, 3), (16, 32, 24, 128)),
+    "dpn98": ((4, 10, 30, 34), (3, 96, 336, 768, 1728, 2688), False, 96,
+              160, 40, False, (3, 6, 20, 3), (16, 32, 32, 128)),
+    "dpn107": ((5, 13, 33, 37), (3, 128, 376, 1152, 2432, 2688), False, 128,
+               200, 50, False, (4, 8, 20, 3), (20, 64, 64, 128)),
+    "dpn131": ((5, 13, 41, 45), (3, 128, 352, 832, 1984, 2688), False, 128,
+               160, 40, False, (4, 8, 28, 3), (16, 32, 32, 128)),
+}
+
+
+class BnActConv2d(nn.Module):
+    def __init__(self, cin, cout, k, stride, groups=1):
+        super().__init__()
+        self.bn = nn.BatchNorm2d(cin, eps=1e-3)
+        self.conv = nn.Conv2d(cin, cout, k, stride, (k - 1) // 2,
+                              groups=groups, bias=False)
+
+    def forward(self, x):
+        return self.conv(torch.relu(self.bn(x)))
+
+
+class DPNDualPathBlock(nn.Module):
+    def __init__(self, in_chs, r, bw, inc, groups, block_type, b=False):
+        super().__init__()
+        self.bw, self.b = bw, b
+        stride = 2 if block_type == "down" else 1
+        self.has_proj = block_type in ("proj", "down")
+        if self.has_proj:
+            name = "c1x1_w_s2" if stride == 2 else "c1x1_w_s1"
+            setattr(self, name, BnActConv2d(in_chs, bw + 2 * inc, 1, stride))
+            self._proj_name = name
+        self.c1x1_a = BnActConv2d(in_chs, r, 1, 1)
+        self.c3x3_b = BnActConv2d(r, r, 3, stride, groups)
+        if b:
+            cat_bn_ac = nn.Module()  # CatBnAct: child named bn
+            cat_bn_ac.bn = nn.BatchNorm2d(r, eps=1e-3)
+            self.c1x1_c = cat_bn_ac
+            self.c1x1_c1 = nn.Conv2d(r, bw, 1, bias=False)
+            self.c1x1_c2 = nn.Conv2d(r, inc, 1, bias=False)
+        else:
+            self.c1x1_c = BnActConv2d(r, bw + inc, 1, 1)
+
+    def forward(self, x):
+        x_in = torch.cat(x, dim=1) if isinstance(x, (tuple, list)) else x
+        if self.has_proj:
+            x_s = getattr(self, self._proj_name)(x_in)
+            x_s1, x_s2 = x_s[:, :self.bw], x_s[:, self.bw:]
+        else:
+            x_s1, x_s2 = x
+        y = self.c3x3_b(self.c1x1_a(x_in))
+        if self.b:
+            y = torch.relu(self.c1x1_c.bn(y))
+            out1, out2 = self.c1x1_c1(y), self.c1x1_c2(y)
+        else:
+            y = self.c1x1_c(y)
+            out1, out2 = y[:, :self.bw], y[:, self.bw:]
+        return x_s1 + out1, torch.cat([x_s2, out2], dim=1)
+
+
+class DPNEncoder(nn.Module):
+    """smp DPNEncoder: stem conv/bn/act = stage 1, pool + conv2_* = stage 2,
+    conv3/4/5 stages; tuple stage outputs emitted as relu(cat); final
+    conv5_bn_ac (CatBnAct). torch key layout matches pretrainedmodels
+    (``features.convK_i.*``) via this module's `features` ModuleDict."""
+
+    def __init__(self, name="dpn68"):
+        super().__init__()
+        (self.stage_idxs, self.out_channels, small, init, k_r, groups, b,
+         k_sec, inc_sec) = DPN_SPECS[name]
+        feats = nn.ModuleDict()
+        stem = nn.Module()
+        k = 3 if small else 7
+        stem.conv = nn.Conv2d(3, init, k, 2, (k - 1) // 2, bias=False)
+        stem.bn = nn.BatchNorm2d(init, eps=1e-3)
+        feats["conv1_1"] = stem
+        bw_factor = 1 if small else 4
+        in_chs = init
+        self.block_keys = []
+        for stage, base in enumerate((64, 128, 256, 512), start=2):
+            bw = base * bw_factor
+            inc = inc_sec[stage - 2]
+            r = (k_r * bw) // (64 * bw_factor)
+            for i in range(1, k_sec[stage - 2] + 1):
+                bt = ("proj" if stage == 2 else "down") if i == 1 else "normal"
+                key = f"conv{stage}_{i}"
+                feats[key] = DPNDualPathBlock(in_chs, r, bw, inc, groups,
+                                              bt, b)
+                in_chs = (bw + 3 * inc) if i == 1 else in_chs + inc
+                self.block_keys.append(key)
+        bn_ac = nn.Module()
+        bn_ac.bn = nn.BatchNorm2d(in_chs, eps=1e-3)
+        feats["conv5_bn_ac"] = bn_ac
+        self.features = feats
+
+    def forward(self, x):
+        feats = [x]
+        stem = self.features["conv1_1"]
+        y = torch.relu(stem.bn(stem.conv(x)))
+        feats.append(y)
+        y = nn.functional.max_pool2d(y, 3, 2, 1)
+        for key in self.block_keys:
+            if key in ("conv3_1", "conv4_1", "conv5_1"):
+                feats.append(torch.relu(torch.cat(y, dim=1)))
+            y = self.features[key](y)
+        y = torch.cat(y, dim=1)
+        feats.append(torch.relu(self.features["conv5_bn_ac"].bn(y)))
+        return feats
+
+
 def make_encoder(name):
     if name in ENCODER_SPECS:
         return ResnetEncoder(name)
+    if name in DPN_SPECS:
+        return DPNEncoder(name)
     if name == "xception":
         return XceptionEncoder(name)
     if name == "inceptionv4":
