@@ -227,6 +227,26 @@ def import_ckpt(ckpt_path, output_dir):
     click.echo(f"imported -> {path}")
 
 
+@cli.command("export")
+@click.argument("checkpoint_dir")
+@click.argument("output_path")
+@click.option("--step", type=int, default=None,
+              help="Checkpoint step to export (default: latest).")
+def export_ckpt(checkpoint_dir, output_path, step):
+    """Convert a native checkpoint dir into a reference Lightning .ckpt.
+
+    The inverse of `import`: hand a model trained here back to a user still
+    running the reference (resnet-family encoders; weights, EMA shadows, BN
+    stats, and hparams carry over)."""
+    from denoising_diffusion_deep_fake_tpu.utils.torch_export import (
+        export_reference_checkpoint)
+
+    info = export_reference_checkpoint(checkpoint_dir, output_path, step=step)
+    click.echo(f"exported {info['keys']} tensors "
+               f"(identities {','.join(info['identities'])}, "
+               f"step {info['global_step']}) -> {output_path}")
+
+
 # -------------------------------------------------------------------- serving
 
 

@@ -56,6 +56,26 @@ def run_swap(tmpdir):
     return f"swap trained {ctx.global_step} steps OK"
 
 
+def run_spatial(tmpdir):
+    """Denoiser over a (data=2, spatial=2) mesh SPANNING both processes:
+    each process's two local devices hold the H-halves of its data rows, so
+    conv halo exchanges ride intra-process transfers while gradient psums
+    cross the Gloo process boundary — the layout a real pod slice uses."""
+    from denoising_diffusion_deep_fake_tpu.config import (
+        DenoiserConfig, config_from_dict)
+    from denoising_diffusion_deep_fake_tpu.training.runners import (
+        _training_mesh, fit_denoiser)
+
+    cfg = config_from_dict(DenoiserConfig, dict(
+        input_image_list_path=f"{tmpdir}/images.txt",
+        noise_exponential_sampling_lambda=3.0, spatial_parallel=2,
+        log_dir=f"{tmpdir}/runs", checkpoint_dir=f"{tmpdir}/ckpt", **_COMMON))
+    mesh = _training_mesh(cfg)
+    assert dict(mesh.shape) == {"data": 2, "spatial": 2}, mesh.shape
+    _, _, ctx = fit_denoiser(cfg, max_steps=2, verbose=False)
+    return f"spatial trained {ctx.global_step} steps OK"
+
+
 def run_balance(tmpdir):
     from denoising_diffusion_deep_fake_tpu.config import (
         BalanceConfig, config_from_dict)
@@ -76,7 +96,7 @@ def main(coordinator, nproc, pid, tmpdir, workload="denoiser"):
     os.environ["D3F_PROCESS_ID"] = str(pid)
 
     runner = {"denoiser": run_denoiser, "swap": run_swap,
-              "balance": run_balance}[workload]
+              "balance": run_balance, "spatial": run_spatial}[workload]
     message = runner(tmpdir)
     assert jax.process_count() == nproc
     print(f"proc {pid}: {message}", flush=True)
