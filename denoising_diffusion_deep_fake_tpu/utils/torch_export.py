@@ -145,7 +145,7 @@ def export_reference_checkpoint(ckpt_dir, output_path, *,
         model_sd = export_smp_unet_state_dict(state.params,
                                               state.batch_stats)
         for k, v in model_sd.items():
-            sd[f"model_{ident}.{k}"] = torch.from_numpy(np.asarray(v))
+            sd[f"model_{ident}.{k}"] = torch.from_numpy(np.array(v))
         if getattr(state, "ema_params", None) is not None:
             ema_stats = (state.ema_batch_stats
                          if state.ema_batch_stats is not None
@@ -153,10 +153,10 @@ def export_reference_checkpoint(ckpt_dir, output_path, *,
             ema_sd = export_smp_unet_state_dict(state.ema_params, ema_stats)
             for k, v in ema_sd.items():
                 sd[f"ema_model_{ident}.ema_model.{k}"] = \
-                    torch.from_numpy(np.asarray(v))
+                    torch.from_numpy(np.array(v))
                 # ema_pytorch keeps the online model inside its module too.
                 sd[f"ema_model_{ident}.online_model.{k}"] = \
-                    torch.from_numpy(np.asarray(model_sd[k]))
+                    torch.from_numpy(np.array(model_sd[k]))
             sd[f"ema_model_{ident}.initted"] = torch.tensor(True)
             sd[f"ema_model_{ident}.step"] = torch.tensor(
                 int(np.asarray(state.ema_step or 0)))

@@ -70,9 +70,13 @@ def run_spatial(tmpdir):
         input_image_list_path=f"{tmpdir}/images.txt",
         noise_exponential_sampling_lambda=3.0, spatial_parallel=2,
         log_dir=f"{tmpdir}/runs", checkpoint_dir=f"{tmpdir}/ckpt", **_COMMON))
-    mesh = _training_mesh(cfg)
-    assert dict(mesh.shape) == {"data": 2, "spatial": 2}, mesh.shape
+    # NOTE: do NOT build a mesh before fit — the runner's
+    # maybe_initialize_from_env() must run before anything touches the jax
+    # backend, or the process initializes single-process with only its
+    # local devices.
     _, _, ctx = fit_denoiser(cfg, max_steps=2, verbose=False)
+    mesh = _training_mesh(cfg)  # safe now: distributed backend is live
+    assert dict(mesh.shape) == {"data": 2, "spatial": 2}, mesh.shape
     return f"spatial trained {ctx.global_step} steps OK"
 
 
