@@ -79,7 +79,7 @@ class StepTimer:
 
 
 def bench_e2e_denoiser(batch=256, size=64, steps=120, warm=20, n_images=1024,
-                       log_every=1):
+                       log_every=1, upload="rgb"):
     from denoising_diffusion_deep_fake_tpu.config import (
         DenoiserConfig, config_from_dict)
     from denoising_diffusion_deep_fake_tpu.training.runners import fit_denoiser
@@ -93,7 +93,7 @@ def bench_e2e_denoiser(batch=256, size=64, steps=120, warm=20, n_images=1024,
             compute_dtype="bfloat16", noise_exponential_sampling_lambda=5.0,
             max_epochs=10_000, log_dir=str(tmp / "runs"),
             checkpoint_dir=str(tmp / "ckpt"),
-            log_every_n_steps=log_every,
+            log_every_n_steps=log_every, upload_format=upload,
             handle_preemption=False,  # let a wrapping `timeout` really kill us
             last_checkpoint_min_interval_s=1e9))  # no mid-run epoch saves
         timer = StepTimer(warm, steps)
@@ -104,14 +104,16 @@ def bench_e2e_denoiser(batch=256, size=64, steps=120, warm=20, n_images=1024,
         dt = timer.seconds_per_step()
         print(json.dumps({
             "metric": f"e2e_fit_denoiser_{size}px_b{batch}"
-                      + ("" if log_every == 1 else f"_log{log_every}"),
+                      + ("" if log_every == 1 else f"_log{log_every}")
+                      + ("" if upload == "rgb" else f"_{upload}"),
             "value": round(batch / dt, 1), "unit": "imgs/sec",
             "step_ms": round(dt * 1e3, 2)}), flush=True)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
-def bench_e2e_swap(batch=16, size=448, steps=40, warm=8, n_images=128):
+def bench_e2e_swap(batch=16, size=448, steps=40, warm=8, n_images=128,
+                   upload="rgb"):
     """The reference's actual operating point: 448² crops, batch 14-16,
     two-identity swap training (`denoise_config.yml:1-14`)."""
     from denoising_diffusion_deep_fake_tpu.config import (
@@ -130,6 +132,7 @@ def bench_e2e_swap(batch=16, size=448, steps=40, warm=8, n_images=128):
             noise_exponential_sampling_lambda=8.0, ema_update_after_step=0,
             max_epochs=10_000, log_dir=str(tmp / "runs"),
             checkpoint_dir=str(tmp / "ckpt"), handle_preemption=False,
+            upload_format=upload,
             last_checkpoint_min_interval_s=1e9))
         timer = StepTimer(warm, steps)
         try:
@@ -138,7 +141,8 @@ def bench_e2e_swap(batch=16, size=448, steps=40, warm=8, n_images=128):
             pass
         dt = timer.seconds_per_step()
         print(json.dumps({
-            "metric": f"e2e_fit_swap_{size}px_b{batch}_two_models",
+            "metric": f"e2e_fit_swap_{size}px_b{batch}_two_models"
+                      + ("" if upload == "rgb" else f"_{upload}"),
             "value": round(2 * batch / dt, 1), "unit": "imgs/sec",
             "step_ms": round(dt * 1e3, 2)}), flush=True)
     finally:
@@ -151,6 +155,10 @@ BENCHES = {
     # no per-step cost (the async worker absorbed the fetch barrier).
     "denoiser64_nolog": lambda: bench_e2e_denoiser(log_every=1_000_000),
     "swap448": bench_e2e_swap,
+    # VERDICT r2 #3 evidence: training batches shipped 4:2:0-packed (half
+    # the upload bytes) and unpacked on-device at the top of the step.
+    "denoiser64_i420": lambda: bench_e2e_denoiser(upload="i420"),
+    "swap448_i420": lambda: bench_e2e_swap(upload="i420"),
 }
 
 
