@@ -130,6 +130,24 @@ def pack_rgb_batch_to_i420_np(batch: np.ndarray) -> np.ndarray:
     return out
 
 
+def unpack_i420_batch_to_rgb_np(packed: np.ndarray) -> np.ndarray:
+    """HOST-side (B, H*3/2, W) uint8 I420 -> (B, H, W, 3) RGB uint8.
+
+    Inverse of ``pack_rgb_batch_to_i420_np`` via cv2's SIMD converter — the
+    ONE host-side unpack shared by the serving engine, the HTTP mixed-format
+    path, and the benches, so any future colorspace calibration change lands
+    everywhere at once.
+    """
+    import cv2
+
+    b = packed.shape[0]
+    h = packed.shape[1] * 2 // 3
+    out = np.empty((b, h, packed.shape[2], 3), dtype=np.uint8)
+    for i in range(b):
+        out[i] = cv2.cvtColor(packed[i], cv2.COLOR_YUV2RGB_I420)
+    return out
+
+
 def unpack_upload(batch: "jax.Array", upload_format: str) -> "jax.Array":
     """Device-side start of the train step: wire format -> RGB in [0, 255].
 

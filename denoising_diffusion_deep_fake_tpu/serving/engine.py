@@ -146,15 +146,12 @@ class SwapEngine:
             raise ValueError(
                 f"expected frames of shape {expected}, got {rgb_u8.shape}")
         if self.transfer == "i420":
-            import cv2
-
             from denoising_diffusion_deep_fake_tpu.ops.image import (
-                pack_rgb_batch_to_i420_np)
+                pack_rgb_batch_to_i420_np, unpack_i420_batch_to_rgb_np)
 
             packed = self.swap_wire(pack_rgb_batch_to_i420_np(
                 np.ascontiguousarray(frames)))
-            out = np.stack([cv2.cvtColor(p, cv2.COLOR_YUV2RGB_I420)
-                            for p in packed])
+            out = unpack_i420_batch_to_rgb_np(packed)
         else:
             out = self.swap_wire(frames)
         return out[0] if squeeze else out

@@ -44,6 +44,16 @@ import numpy as np
 from denoising_diffusion_deep_fake_tpu.serving.engine import SwapEngine
 
 
+def _supported_formats(engine: SwapEngine) -> list[str]:
+    from denoising_diffusion_deep_fake_tpu.ops.image import validate_i420_dims
+
+    try:
+        validate_i420_dims(engine.height, engine.width)
+    except ValueError:
+        return ["rgb"]
+    return ["rgb", "i420"]
+
+
 def _make_handler(engines: dict[str, SwapEngine]):
     default_identity = next(iter(engines))
 
@@ -124,7 +134,10 @@ def _make_handler(engines: dict[str, SwapEngine]):
                     "frame_shape": [engine.height, engine.width, 3],
                     "batch_size": engine.batch_size,
                     "transfer": engine.transfer,
-                    "formats": ["rgb", "i420"],
+                    # i420 is only offered when the engine geometry can
+                    # actually carry it (H % 4, W % 2) — an rgb engine at an
+                    # odd size would otherwise 400 every advertised request.
+                    "formats": _supported_formats(engine),
                 })
             elif path == "/v1/stats":
                 self._reply_json(200, engine.stats())
@@ -226,15 +239,11 @@ def _make_handler(engines: dict[str, SwapEngine]):
             """
             if fmt == engine.transfer:
                 return engine.swap_wire(frames)
-            import cv2
-
             if fmt == "i420":  # i420 client, rgb engine
-                rgb = np.stack([cv2.cvtColor(f, cv2.COLOR_YUV2RGB_I420)
-                                for f in frames])
-                fake = engine.swap(rgb)
                 from denoising_diffusion_deep_fake_tpu.ops.image import (
-                    pack_rgb_batch_to_i420_np)
+                    pack_rgb_batch_to_i420_np, unpack_i420_batch_to_rgb_np)
 
+                fake = engine.swap(unpack_i420_batch_to_rgb_np(frames))
                 return pack_rgb_batch_to_i420_np(fake)
             return engine.swap(frames)  # rgb client, i420 engine
 

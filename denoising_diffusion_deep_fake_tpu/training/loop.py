@@ -215,7 +215,13 @@ class LoopContext:
             stop = None in items
             items = [it for it in items if it is not None]
             try:
-                if items and self._diverged is None:
+                # Re-check the abort event AFTER draining: with a backlog the
+                # Empty branch above is never reached, and abort() must not
+                # wait behind device fetches on a possibly-dead link (the
+                # join(10s) would time out and the daemon thread would die
+                # mid-transfer at interpreter teardown).
+                if (items and self._diverged is None
+                        and not self._stop_event.is_set()):
                     self._log_metric_items(items)
             except BaseException as e:  # surfaced on the main thread
                 self._worker_error = e

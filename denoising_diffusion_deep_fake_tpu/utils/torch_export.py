@@ -114,10 +114,16 @@ def export_reference_checkpoint(ckpt_dir, output_path, *,
     Produces ``{"state_dict", "hyper_parameters", "epoch", "global_step",
     "pytorch-lightning_version"}`` with smp key names under
     ``model_{a,b}.`` and (swap mode) ``ema_model_{a,b}.ema_model.``
-    prefixes, plus ema_pytorch's ``initted``/``step`` buffers. The online
-    copy ema_pytorch also stores (``ema_model_x.online_model.*``) is
-    emitted too, so ``strict=True`` loads succeed. Returns the metadata
-    written (for logging/tests).
+    prefixes, plus ema_pytorch's ``initted``/``step`` buffers. NO
+    ``online_model.*`` keys are emitted: the reference constructs its EMA
+    with ``include_online_model=False`` (`lit_module.py:63-70`), which
+    keeps the online copy OUT of ema_pytorch's state_dict — emitting them
+    would make the reference's strict load fail on unexpected keys.
+    Caveat: if the installed piqa version registers its SSIM window as a
+    persistent buffer (``criterion.*`` keys), the reference must load this
+    file with ``strict=False`` (its own ``modify`` flow already does);
+    we cannot know piqa's buffer names offline, so none are fabricated.
+    Returns the metadata written (for logging/tests).
     """
     import jax
     import torch
@@ -154,9 +160,6 @@ def export_reference_checkpoint(ckpt_dir, output_path, *,
             for k, v in ema_sd.items():
                 sd[f"ema_model_{ident}.ema_model.{k}"] = \
                     torch.from_numpy(np.array(v))
-                # ema_pytorch keeps the online model inside its module too.
-                sd[f"ema_model_{ident}.online_model.{k}"] = \
-                    torch.from_numpy(np.array(model_sd[k]))
             sd[f"ema_model_{ident}.initted"] = torch.tensor(True)
             sd[f"ema_model_{ident}.step"] = torch.tensor(
                 int(np.asarray(state.ema_step or 0)))

@@ -248,6 +248,21 @@ def test_engine_rejects_odd_i420_geometry(checkpoint):
         SwapEngine(checkpoint, "a", height=30, width=SIZE, transfer="i420")
 
 
+def test_healthz_formats_follow_engine_geometry():
+    """healthz only advertises i420 when the frame geometry can carry it
+    (defensive: every U-Net-served size is %32 so also i420-safe, but the
+    endpoint must not promise what a request would 400 on)."""
+    import types
+
+    from denoising_diffusion_deep_fake_tpu.serving.server import (
+        _supported_formats)
+
+    ok = types.SimpleNamespace(height=SIZE, width=SIZE)
+    odd = types.SimpleNamespace(height=30, width=SIZE)
+    assert _supported_formats(ok) == ["rgb", "i420"]
+    assert _supported_formats(odd) == ["rgb"]
+
+
 @pytest.fixture(scope="module")
 def server_i420(engine_i420):
     with SwapServer(engine_i420, port=0) as srv:

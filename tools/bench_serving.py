@@ -54,10 +54,10 @@ def _wire_payload(rng, n_frames: int, wire: str):
     """(body_bytes, headers, frames_per_request) for one client request."""
     frames = rng.integers(0, 256, (n_frames, SIZE, SIZE, 3), dtype=np.uint8)
     if wire == "i420":
-        import cv2
+        from denoising_diffusion_deep_fake_tpu.ops.image import (
+            pack_rgb_batch_to_i420_np)
 
-        packed = np.stack([cv2.cvtColor(f, cv2.COLOR_RGB2YUV_I420)
-                           for f in frames])
+        packed = pack_rgb_batch_to_i420_np(frames)
         return (packed.tobytes(),
                 {"X-Shape": f"{n_frames},{SIZE},{SIZE}", "X-Format": "i420"},
                 n_frames)

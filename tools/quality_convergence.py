@@ -141,16 +141,17 @@ def torch_reference_swap(ckpt_export_path, frames_u8: np.ndarray,
     assert not unexpected, unexpected
     model.eval()
 
+    # The reference normalizes AND denormalizes with the OTHER identity's
+    # statistics (predict_fake('a') passes mean_b/std_b for both directions,
+    # `lit_module.py:253-254, 262-266`) — same stats in, same stats out.
     other = "b" if identity == "a" else "a"
-    mean_in = np.asarray(hparams[f"mean_{identity}"], np.float32) * 255.0
-    std_in = np.asarray(hparams[f"std_{identity}"], np.float32) * 255.0
-    mean_out = np.asarray(hparams[f"mean_{other}"], np.float32) * 255.0
-    std_out = np.asarray(hparams[f"std_{other}"], np.float32) * 255.0
+    mean = np.asarray(hparams[f"mean_{other}"], np.float32) * 255.0
+    std = np.asarray(hparams[f"std_{other}"], np.float32) * 255.0
 
-    x = (frames_u8.astype(np.float32) - mean_in) / std_in
+    x = (frames_u8.astype(np.float32) - mean) / std
     with torch.no_grad():
         y = model(torch.from_numpy(np.transpose(x, (0, 3, 1, 2)))).numpy()
-    y = np.transpose(y, (0, 2, 3, 1)) * std_out + mean_out
+    y = np.transpose(y, (0, 2, 3, 1)) * std + mean
     return np.clip(np.trunc(y), 0, 255).astype(np.uint8)
 
 
