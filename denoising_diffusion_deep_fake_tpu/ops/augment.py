@@ -385,4 +385,11 @@ def augment_batch(key: jax.Array, batch_uint8: jax.Array, mean, std,
         return affine_warp_pallas(
             x, params,
             interpret=jax.default_backend() != "tpu").astype(dtype)
+    if method == "pallas_fused":
+        from denoising_diffusion_deep_fake_tpu.ops.pallas.warp_fused import (
+            affine_warp_pallas_fused)
+
+        return affine_warp_pallas_fused(
+            x, params,
+            interpret=jax.default_backend() != "tpu").astype(dtype)
     return affine_warp(x, params).astype(dtype)

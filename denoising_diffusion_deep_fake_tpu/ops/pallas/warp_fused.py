@@ -1,0 +1,189 @@
+"""Fused whole-sample Pallas warp: both affine axis passes in one kernel.
+
+The shipped two-pass kernel (``warp_kernel.py``) needs five HBM round trips
+per warp: NHWC->(B,H,C,W) transpose, x-pass, (B,H,C,W)->(B,W,C,H) transpose,
+y-pass, transpose back. Each is read+write of the full batch — at 448²/b16
+that is ~77 MB x5 over ~180 GB/s achievable HBM bandwidth (BASELINE.md
+calibration), so the warp is relayout-bound, not compute-bound.
+
+This kernel keeps the ENTIRE sample resident in VMEM (448²x3 fp32 = 2.4 MB
+per sample, well under the ~16 MB/core budget) and runs both passes plus the
+intermediate "transpose" inside one ``pallas_call``:
+
+* grid is ``(B,)`` — one kernel instance per sample;
+* phase 1 (x-pass) mirrors the shipped kernel's math: per 32-row block, a
+  banded scale+shift interpolation matmul on the MXU plus a 25-tap residual
+  VPU MAC, writing a bf16 intermediate into VMEM scratch;
+* phase 2 (y-pass) needs the intermediate transposed — instead of a data
+  relayout it contracts over SUBLANES with ``lax.dot_general`` (dimension
+  numbers ``((0,), (0,))``): ``g2[x, o] = sum_h t[h, x] * S_y[h, o]``. The
+  MXU consumes the transposed operand directly; no transpose op exists
+  anywhere in the kernel;
+* the output leaves in ``(B, C, W, H)`` orientation; the caller's single XLA
+  transpose back to NHWC plus the input NHWC->NCHW transpose are the only
+  HBM relayouts left (3 round trips total, and 2 of 3 are plain transposes).
+
+Math is identical to ``ops.augment.affine_warp_hybrid`` (same LDU shear
+factorization, same block quantization, K=12 residual window); unit tests
+assert elementwise agreement in interpret mode. Rebuilds the on-device
+augmentation of the reference (`/root/reference/d3f/train_denoiser/
+lit_module.py:55-65`) at the 448² operating point
+(`/root/reference/d3f/train_deep_fake/denoise_config.yml:13-14`).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from denoising_diffusion_deep_fake_tpu.ops.pallas.warp_kernel import (
+    K,
+    ROWS,
+    TAPS,
+    WGT_PAD,
+    _round_up,
+)
+
+
+def _band_matrix(alpha, base, n_in: int, n_win: int):
+    """Banded hat-interpolation matrix folding centered scale + block shift.
+
+    ``S[i, o] = hat(alpha * (o - K + base - c) + c - i)`` with ``c = n_in/2``;
+    columns landing outside ``[0, n_in)`` match no row -> zero border.
+    """
+    c = n_in / 2.0
+    i_idx = jax.lax.broadcasted_iota(jnp.int32, (n_in, n_win),
+                                     0).astype(jnp.float32)
+    o_idx = jax.lax.broadcasted_iota(jnp.int32, (n_in, n_win),
+                                     1).astype(jnp.float32)
+    src = alpha * (o_idx - float(K) + base - c) + c
+    return jnp.clip(1.0 - jnp.abs(src - i_idx), 0.0, 1.0)
+
+
+def _residual_mac(g_win, wgt, n: int):
+    """25-tap residual blend: ``out[r, t] = sum_j wgt[r, j] g_win[r, j+t]``."""
+    acc = jnp.zeros((g_win.shape[0], n), jnp.float32)
+    for j in range(TAPS):
+        acc = acc + wgt[:, j][:, None] * g_win[:, j:j + n]
+    return acc
+
+
+def _fused_warp_kernel(ax_ref, ay_ref, bx_ref, by_ref,   # scalar prefetch
+                       wx_ref, wy_ref, img_ref,          # VMEM inputs
+                       out_ref, t_ref, *,                # output + scratch
+                       h: int, w: int, channels: int):
+    """One sample: x-pass into VMEM scratch, then y-pass out of it."""
+    bi = pl.program_id(0)
+    ax = ax_ref[bi]
+    ay = ay_ref[bi]
+    w_win = _round_up(w + 2 * K, 128)
+    h_win = _round_up(h + 2 * K, 128)
+
+    # Phase 1 — x-pass, (32-row, W) tiles per channel. The banded matrix is
+    # shared by the channels of a block (warp params are per-sample).
+    for j in range(h // ROWS):
+        base = bx_ref[bi, j].astype(jnp.float32)
+        s_x = _band_matrix(ax, base, w, w_win).astype(jnp.bfloat16)
+        wgt = wx_ref[0, j * ROWS:(j + 1) * ROWS, :]
+        for ch in range(channels):
+            tile = img_ref[0, ch, j * ROWS:(j + 1) * ROWS, :]
+            g = jnp.dot(tile.astype(jnp.bfloat16), s_x,
+                        preferred_element_type=jnp.float32)
+            t_ref[ch, j * ROWS:(j + 1) * ROWS, :] = _residual_mac(
+                g, wgt, w).astype(jnp.bfloat16)
+
+    # Phase 2 — y-pass over (H, 32-column) tiles of the scratch. Contracting
+    # dim 0 of both operands feeds the MXU the transposed tile: the result
+    # rows are the 32 x-positions, lanes the y interpolation window.
+    for m in range(w // ROWS):
+        base = by_ref[bi, m].astype(jnp.float32)
+        s_y = _band_matrix(ay, base, h, h_win).astype(jnp.bfloat16)
+        wgt = wy_ref[0, m * ROWS:(m + 1) * ROWS, :]
+        for ch in range(channels):
+            tile = t_ref[ch, :, m * ROWS:(m + 1) * ROWS]       # (H, 32)
+            g = jax.lax.dot_general(
+                tile, s_y, dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)            # (32, h_win)
+            out_ref[0, ch, m * ROWS:(m + 1) * ROWS, :] = _residual_mac(
+                g, wgt, h)
+
+
+def _pass_scalars(alpha, shift, n_resample: int):
+    """Per-block integer base + per-line residual hat weights for one pass.
+
+    Same displacement algebra as ``_hybrid_axis_pass``: in scaled coordinates
+    ``g[t + d] = img[alpha t + shift]`` with ``d = (shift - (1-alpha) c) /
+    alpha`` and ``c`` the RESAMPLE-axis center. ``shift`` is per line of the
+    other axis — blocking runs over that axis (``shift.shape[1]``).
+    """
+    c = n_resample / 2.0
+    d = (shift - (1.0 - alpha[:, None]) * c) / alpha[:, None]
+    b, n = d.shape
+    nb = n // ROWS
+    d_blocks = d.reshape(b, nb, ROWS)
+    base = jnp.round(d_blocks[:, :, ROWS // 2]).astype(jnp.int32)
+    resid = d_blocks - base[:, :, None].astype(jnp.float32)
+    taps = jnp.arange(TAPS, dtype=jnp.float32) - float(K)
+    wgt = jnp.clip(1.0 - jnp.abs(resid[..., None] - taps), 0.0, 1.0)
+    wgt = jnp.pad(wgt, ((0, 0), (0, 0), (0, 0), (0, WGT_PAD - TAPS)))
+    return base, wgt.reshape(b, n, WGT_PAD)
+
+
+def affine_warp_pallas_fused(images: jax.Array, params: dict, *,
+                             interpret: bool = False) -> jax.Array:
+    """Whole-sample-in-VMEM affine warp; NHWC in/out, fp32.
+
+    Drop-in equivalent of ``affine_warp_pallas`` /
+    ``ops.augment.affine_warp_hybrid``. Requires H, W multiples of 32 and a
+    sample small enough for VMEM residency (<= ~512² at C=3).
+    """
+    from denoising_diffusion_deep_fake_tpu.ops.augment import (
+        _inverse_affine_coeffs)
+
+    b, h, w, c = images.shape
+    if h % ROWS or w % ROWS:
+        raise ValueError(f"H={h}, W={w} must be multiples of {ROWS}")
+    i00, i01, i10, i11, itx, ity = _inverse_affine_coeffs(params, h, w)
+
+    # LDU shear factors (identical to affine_warp_hybrid).
+    alpha_x = i00 - i01 * i10 / i11
+    vs = jnp.arange(h, dtype=jnp.float32)
+    shift_x = ((i01 / i11)[:, None] * vs[None, :]
+               + (itx - i01 * ity / i11)[:, None])              # (B, H)
+    alpha_y = i11
+    xs = jnp.arange(w, dtype=jnp.float32)
+    shift_y = i10[:, None] * xs[None, :] + ity[:, None]         # (B, W)
+
+    base_x, wgt_x = _pass_scalars(alpha_x, shift_x, w)   # blocks over H rows
+    base_y, wgt_y = _pass_scalars(alpha_y, shift_y, h)   # blocks over W cols
+
+    img_nchw = jnp.transpose(images.astype(jnp.float32), (0, 3, 1, 2))
+
+    kernel = functools.partial(_fused_warp_kernel, h=h, w=w, channels=c)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,      # alpha_x, alpha_y, base_x, base_y
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, h, WGT_PAD), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),              # wgt_x
+            pl.BlockSpec((1, w, WGT_PAD), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),              # wgt_y
+            pl.BlockSpec((1, c, h, w), lambda i, *_: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),              # image
+        ],
+        out_specs=pl.BlockSpec((1, c, w, h), lambda i, *_: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((c, h, w), jnp.bfloat16)],
+    )
+    out_bcwh = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, c, w, h), jnp.float32),
+        interpret=interpret,
+    )(alpha_x.astype(jnp.float32), alpha_y.astype(jnp.float32),
+      base_x, base_y, wgt_x, wgt_y, img_nchw)
+    return jnp.transpose(out_bcwh, (0, 3, 2, 1)).astype(images.dtype)

@@ -44,6 +44,9 @@ from denoising_diffusion_deep_fake_tpu.ops.pallas.warp_kernel import (
     affine_warp_pallas,
     warp_axis_pass_pallas,
 )
+from denoising_diffusion_deep_fake_tpu.ops.pallas.warp_fused import (
+    affine_warp_pallas_fused,
+)
 from denoising_diffusion_deep_fake_tpu.utils.timing import value_barrier
 
 
@@ -120,8 +123,20 @@ def main():
             return x
         return fn
 
+    def chain_fused(n):
+        # Whole-sample-in-VMEM kernel: both passes + intermediate in one
+        # pallas_call; only the NCHW edge transposes remain in XLA.
+        def fn():
+            x = x0
+            for i in range(n):
+                x = affine_warp_pallas_fused(x, params)
+                x = x + 1e-6 * i
+            return x
+        return fn
+
     rows = {}
     for name, chain in (("pallas_full", chain_full),
+                        ("pallas_fused", chain_fused),
                         ("pallas_kernels", chain_kernels),
                         ("transposes_x3", chain_transposes),
                         ("xla_hybrid", chain_hybrid)):
@@ -136,6 +151,10 @@ def main():
                       "verdict": ("fuse" if share > 0.4
                                   else "negative-result: fusion ceiling "
                                        "too small")}), flush=True)
+    print(json.dumps({"metric": "fused_speedup_vs_two_pass",
+                      "value": round(rows["pallas_full"]
+                                     / max(rows["pallas_fused"], 1e-9), 3),
+                      "unit": "x"}), flush=True)
 
 
 if __name__ == "__main__":
