@@ -347,9 +347,18 @@ def augment_batch(key: jax.Array, batch_uint8: jax.Array, mean, std,
     zero border lands in normalized space. ``method="shear"`` (default) uses
     the gather-free two-pass resampler — ~20x faster on TPU; ``"gather"``
     keeps the direct 4-tap bilinear (reference semantics for parity tests).
+    ``"pallas_fused"`` folds the normalize into the whole-sample kernel (the
+    batch crosses HBM as uint8).
     """
+    params = sample_affine_params(key, batch_uint8.shape[0], cfg)
+    if method == "pallas_fused":
+        from denoising_diffusion_deep_fake_tpu.ops.pallas.warp_fused import (
+            affine_warp_pallas_fused)
+
+        return affine_warp_pallas_fused(
+            batch_uint8, params, mean=mean, std=std,
+            interpret=jax.default_backend() != "tpu").astype(dtype)
     x = normalise_batch(batch_uint8, mean, std, dtype=jnp.float32)
-    params = sample_affine_params(key, x.shape[0], cfg)
     h, w = x.shape[1], x.shape[2]
     if method == "auto":
         # Pallas kernel (VMEM-resident window, no per-tap HBM re-reads) wins
@@ -383,13 +392,6 @@ def augment_batch(key: jax.Array, batch_uint8: jax.Array, mean, std,
             affine_warp_pallas)
 
         return affine_warp_pallas(
-            x, params,
-            interpret=jax.default_backend() != "tpu").astype(dtype)
-    if method == "pallas_fused":
-        from denoising_diffusion_deep_fake_tpu.ops.pallas.warp_fused import (
-            affine_warp_pallas_fused)
-
-        return affine_warp_pallas_fused(
             x, params,
             interpret=jax.default_backend() != "tpu").astype(dtype)
     return affine_warp(x, params).astype(dtype)

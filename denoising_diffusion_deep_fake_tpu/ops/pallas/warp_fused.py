@@ -75,8 +75,15 @@ def _residual_mac(g_win, wgt, n: int):
 def _fused_warp_kernel(ax_ref, ay_ref, bx_ref, by_ref,   # scalar prefetch
                        wx_ref, wy_ref, img_ref,          # VMEM inputs
                        out_ref, t_ref, *,                # output + scratch
-                       h: int, w: int, channels: int):
-    """One sample: x-pass into VMEM scratch, then y-pass out of it."""
+                       h: int, w: int, channels: int,
+                       norm: tuple | None):
+    """One sample: x-pass into VMEM scratch, then y-pass out of it.
+
+    ``norm`` (optional) is a static per-channel ``((mean255, std255), ...)``
+    — the tile is normalized in-kernel BEFORE the warp, so the batch crosses
+    HBM as uint8 and the zero border still lands in normalized space (the
+    reference's Compose order, see ops/augment.py docstring).
+    """
     bi = pl.program_id(0)
     ax = ax_ref[bi]
     ay = ay_ref[bi]
@@ -90,7 +97,13 @@ def _fused_warp_kernel(ax_ref, ay_ref, bx_ref, by_ref,   # scalar prefetch
         s_x = _band_matrix(ax, base, w, w_win).astype(jnp.bfloat16)
         wgt = wx_ref[0, j * ROWS:(j + 1) * ROWS, :]
         for ch in range(channels):
-            tile = img_ref[0, ch, j * ROWS:(j + 1) * ROWS, :]
+            tile = img_ref[0, ch, j * ROWS:(j + 1) * ROWS, :].astype(
+                jnp.float32)
+            if norm is not None:
+                m255, s255 = norm[ch]
+                tile = (tile - m255) / s255   # division: bit-matches
+                # ops.augment.normalise_batch so the fused path stays
+                # elementwise-identical to normalize->two-pass-kernel.
             g = jnp.dot(tile.astype(jnp.bfloat16), s_x,
                         preferred_element_type=jnp.float32)
             t_ref[ch, j * ROWS:(j + 1) * ROWS, :] = _residual_mac(
@@ -134,12 +147,18 @@ def _pass_scalars(alpha, shift, n_resample: int):
 
 
 def affine_warp_pallas_fused(images: jax.Array, params: dict, *,
+                             mean=None, std=None,
                              interpret: bool = False) -> jax.Array:
     """Whole-sample-in-VMEM affine warp; NHWC in/out, fp32.
 
     Drop-in equivalent of ``affine_warp_pallas`` /
     ``ops.augment.affine_warp_hybrid``. Requires H, W multiples of 32 and a
     sample small enough for VMEM residency (<= ~512² at C=3).
+
+    With ``mean``/``std`` (static per-channel floats, 0-1 scale), ``images``
+    may be raw uint8: normalization folds into the kernel's first pass, so
+    the only HBM relayout on the input side moves uint8 bytes (4x cheaper
+    than the f32 transpose) and the normalized f32 batch never exists in HBM.
     """
     from denoising_diffusion_deep_fake_tpu.ops.augment import (
         _inverse_affine_coeffs)
@@ -147,6 +166,15 @@ def affine_warp_pallas_fused(images: jax.Array, params: dict, *,
     b, h, w, c = images.shape
     if h % ROWS or w % ROWS:
         raise ValueError(f"H={h}, W={w} must be multiples of {ROWS}")
+    norm = None
+    if mean is not None:
+        import numpy as np
+        mean_l = np.asarray(mean, np.float64).reshape(-1).tolist()
+        std_l = np.asarray(std, np.float64).reshape(-1).tolist()
+        if len(mean_l) == 1:
+            mean_l, std_l = mean_l * c, std_l * c
+        norm = tuple((float(m) * 255.0, float(s) * 255.0)
+                     for m, s in zip(mean_l, std_l))
     i00, i01, i10, i11, itx, ity = _inverse_affine_coeffs(params, h, w)
 
     # LDU shear factors (identical to affine_warp_hybrid).
@@ -161,9 +189,12 @@ def affine_warp_pallas_fused(images: jax.Array, params: dict, *,
     base_x, wgt_x = _pass_scalars(alpha_x, shift_x, w)   # blocks over H rows
     base_y, wgt_y = _pass_scalars(alpha_y, shift_y, h)   # blocks over W cols
 
-    img_nchw = jnp.transpose(images.astype(jnp.float32), (0, 3, 1, 2))
+    img_nchw = jnp.transpose(
+        images if norm is not None else images.astype(jnp.float32),
+        (0, 3, 1, 2))
 
-    kernel = functools.partial(_fused_warp_kernel, h=h, w=w, channels=c)
+    kernel = functools.partial(_fused_warp_kernel, h=h, w=w, channels=c,
+                               norm=norm)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,      # alpha_x, alpha_y, base_x, base_y
         grid=(b,),
@@ -186,4 +217,5 @@ def affine_warp_pallas_fused(images: jax.Array, params: dict, *,
         interpret=interpret,
     )(alpha_x.astype(jnp.float32), alpha_y.astype(jnp.float32),
       base_x, base_y, wgt_x, wgt_y, img_nchw)
-    return jnp.transpose(out_bcwh, (0, 3, 2, 1)).astype(images.dtype)
+    out = jnp.transpose(out_bcwh, (0, 3, 2, 1))
+    return out if norm is not None else out.astype(images.dtype)

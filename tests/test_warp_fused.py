@@ -87,6 +87,22 @@ def test_augment_batch_method(image):
     assert bool(jnp.isfinite(out).all())
 
 
+def test_uint8_norm_fold_bit_matches_pipeline():
+    """uint8 in-kernel normalize == normalise_batch -> two-pass kernel."""
+    from denoising_diffusion_deep_fake_tpu.ops.augment import normalise_batch
+
+    u8 = jnp.asarray(np.random.default_rng(2).integers(
+        0, 256, (B, S, S, 3), dtype=np.uint8))
+    mean, std = (0.485, 0.456, 0.406), (0.229, 0.224, 0.225)
+    params = sample_affine_params(jax.random.PRNGKey(7), B,
+                                  AffineAugmentConfig.random_affine())
+    pipeline = np.asarray(affine_warp_pallas(
+        normalise_batch(u8, mean, std), params, interpret=True))
+    folded = np.asarray(affine_warp_pallas_fused(
+        u8, params, mean=mean, std=std, interpret=True))
+    np.testing.assert_array_equal(folded, pipeline)
+
+
 def test_rejects_unaligned():
     img = jnp.zeros((1, 64, 40, 3), jnp.float32)
     params = {k: v[:1] for k, v in _params().items()}
