@@ -119,6 +119,47 @@ def validate_warp_kernel():
               f"({t_h / max(t_p, 1e-9):.1f}x)")
 
 
+def validate_fused_warp():
+    """Fused whole-sample kernel on hardware: first Mosaic lowering check +
+    agreement with the two-pass kernel (bit-identical math; hardware
+    tolerance covers MXU feed-order differences of the transposed matmul).
+    """
+    from denoising_diffusion_deep_fake_tpu.ops.augment import (
+        AffineAugmentConfig, normalise_batch, sample_affine_params)
+    from denoising_diffusion_deep_fake_tpu.ops.pallas.warp_kernel import (
+        affine_warp_pallas)
+    from denoising_diffusion_deep_fake_tpu.ops.pallas.warp_fused import (
+        affine_warp_pallas_fused)
+
+    rng = np.random.default_rng(0)
+    cfg = AffineAugmentConfig.random_affine()
+    for b, size in ((16, 448), (32, 256)):
+        img = jnp.asarray(rng.standard_normal((b, size, size, 3))
+                          .astype(np.float32))
+        params = sample_affine_params(jax.random.PRNGKey(3), b, cfg)
+        two = np.asarray(jax.jit(affine_warp_pallas)(img, params))
+        fused = np.asarray(jax.jit(affine_warp_pallas_fused)(img, params))
+        diff = np.abs(two - fused).max()
+        print(f"fused warp {size}²/b{b}: max|two_pass - fused| = {diff:.2e}")
+        assert diff < 1e-2, diff
+
+    # uint8 norm-fold variant at the reference operating point.
+    u8 = jnp.asarray(rng.integers(0, 256, (16, 448, 448, 3), dtype=np.uint8))
+    params = sample_affine_params(jax.random.PRNGKey(4), 16, cfg)
+    mean = std = (0.5, 0.5, 0.5)
+    piped = np.asarray(jax.jit(affine_warp_pallas)(
+        normalise_batch(u8, mean, std), params))
+    folded = np.asarray(jax.jit(lambda u: affine_warp_pallas_fused(
+        u, params, mean=mean, std=std))(u8))
+    diff = np.abs(piped - folded).max()
+    print(f"fused warp uint8-norm fold 448²/b16: max diff = {diff:.2e}")
+    assert diff < 1e-2, diff
+
+
 if __name__ == "__main__":
     main()
     validate_warp_kernel()
+    try:
+        validate_fused_warp()
+    except Exception as e:  # noqa: BLE001 - new kernel; report, don't kill
+        print(f"FUSED WARP VALIDATION FAILED: {type(e).__name__}: {e}")

@@ -140,21 +140,32 @@ def main():
                         ("pallas_kernels", chain_kernels),
                         ("transposes_x3", chain_transposes),
                         ("xla_hybrid", chain_hybrid)):
-        ms = marginal_ms(chain)
+        # One variant failing to lower (e.g. a Mosaic rejection of a new
+        # kernel) must not cost the other rows.
+        try:
+            ms = marginal_ms(chain)
+        except Exception as e:  # noqa: BLE001 - report and continue
+            print(json.dumps({"metric": f"warp_{name}_{size}px_b{batch}",
+                              "error": f"{type(e).__name__}: {e}"[:300]}),
+                  flush=True)
+            continue
         rows[name] = round(ms, 3)
         print(json.dumps({"metric": f"warp_{name}_{size}px_b{batch}",
                           "value": rows[name], "unit": "ms/op"}),
               flush=True)
-    share = rows["transposes_x3"] / max(rows["pallas_full"], 1e-9)
-    print(json.dumps({"metric": "transpose_share_of_full_warp",
-                      "value": round(share, 3),
-                      "verdict": ("fuse" if share > 0.4
-                                  else "negative-result: fusion ceiling "
-                                       "too small")}), flush=True)
-    print(json.dumps({"metric": "fused_speedup_vs_two_pass",
-                      "value": round(rows["pallas_full"]
-                                     / max(rows["pallas_fused"], 1e-9), 3),
-                      "unit": "x"}), flush=True)
+    if "transposes_x3" in rows and "pallas_full" in rows:
+        share = rows["transposes_x3"] / max(rows["pallas_full"], 1e-9)
+        print(json.dumps({"metric": "transpose_share_of_full_warp",
+                          "value": round(share, 3),
+                          "verdict": ("fuse" if share > 0.4
+                                      else "negative-result: fusion ceiling "
+                                           "too small")}), flush=True)
+    if "pallas_fused" in rows and "pallas_full" in rows:
+        print(json.dumps({"metric": "fused_speedup_vs_two_pass",
+                          "value": round(rows["pallas_full"]
+                                         / max(rows["pallas_fused"], 1e-9),
+                                         3),
+                          "unit": "x"}), flush=True)
 
 
 if __name__ == "__main__":
