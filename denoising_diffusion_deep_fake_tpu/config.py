@@ -81,6 +81,20 @@ class BaseConfig:
     # delivered imgs/s (BASELINE.md r3). "rgb" (default) is the parity path.
     # The balancer's once-per-epoch scoring pass always uses rgb.
     upload_format: str = "rgb"
+    # Where training batches come from each step:
+    #   "host"   — host loader + prefetch/upload thread (parity default),
+    #   "device" — the whole decoded uint8 dataset lives in HBM and each
+    #              step GATHERS its batch inside the jitted program: zero
+    #              per-step host->device image bytes. TPU-native mode for
+    #              datasets that fit HBM (the reference's face datasets are
+    #              thousands of fixed crops: 10k 448² frames = ~6 GB vs 16).
+    #              Single-process only; epoch shuffle order matches the host
+    #              loader exactly (same seeded permutation, uploaded once per
+    #              epoch). See data/device_cache.py.
+    data_cache: str = "host"
+    # Refuse to device-cache datasets larger than this (HBM headroom for
+    # params/activations comes first).
+    device_cache_limit_bytes: int = 8 << 30
 
     def validate(self) -> None:
         if self.batch_size <= 0:
@@ -117,6 +131,20 @@ class BaseConfig:
                 raise ValueError(
                     "upload_format='i420' needs image_size % 4 == 0, got "
                     f"{self.image_size}")
+        if self.data_cache not in ("host", "device"):
+            raise ValueError(
+                f"data_cache must be 'host' or 'device', got "
+                f"{self.data_cache!r}")
+        if self.data_cache == "device" and self.upload_format != "rgb":
+            # There is no per-step upload to compress: batches are gathered
+            # from the HBM-resident uint8 dataset inside the step.
+            raise ValueError(
+                "data_cache='device' already eliminates per-step uploads — "
+                "use upload_format='rgb' with it")
+        if self.data_cache == "device" and self.spatial_parallel > 1:
+            raise ValueError(
+                "data_cache='device' supports the data axis only; use "
+                "data_cache='host' with spatial_parallel > 1")
 
     @property
     def cosine_t_max(self) -> int:

@@ -85,6 +85,22 @@ def _upload_format(cfg) -> str:
     return getattr(cfg, "upload_format", "rgb")
 
 
+def _device_cache(cfg, mesh, *loaders):
+    """Build HBM-resident dataset caches when ``data_cache: device``.
+
+    Returns a list of ``DeviceDatasetCache`` (one per loader) or None for the
+    host-loader path. The caches pin the decoded uint8 datasets in device
+    memory; steps gather batches in-jit (zero per-step image uploads)."""
+    if getattr(cfg, "data_cache", "host") != "device":
+        return None
+    from denoising_diffusion_deep_fake_tpu.data.device_cache import (
+        DeviceDatasetCache)
+
+    limit = getattr(cfg, "device_cache_limit_bytes", 8 << 30)
+    return [DeviceDatasetCache(ld, limit_bytes=limit, mesh=mesh)
+            for ld in loaders]
+
+
 @contextlib.contextmanager
 def _abort_on_error(ctx: LoopContext):
     """Tear the loop services down on ANY exception escaping the train loop
@@ -150,26 +166,43 @@ def fit_deep_fake(cfg: DeepFakeConfig, *, resume_from: str | None = None,
         states = trainer.init_states(rng)
 
     states = shard_state(states, mesh)
-    step_plain = trainer.make_train_step(with_images=False)
-    step_img = trainer.make_train_step(with_images=True, donate=False)
+    caches = _device_cache(cfg, mesh, loader_a, loader_b)
+    if caches:
+        from denoising_diffusion_deep_fake_tpu.training.cached import (
+            cached_steps_for)
+
+        cache_a, cache_b = caches
+        # PairedLoader semantics: epoch length is the shorter identity's.
+        cached_spe = min(cache_a.steps_per_epoch, cache_b.steps_per_epoch)
+        step_plain, step_img = cached_steps_for(trainer, cached_spe,
+                                                paired=True, mesh=mesh)
+    else:
+        step_plain = trainer.make_train_step(with_images=False)
+        step_img = trainer.make_train_step(with_images=True, donate=False)
 
     done = False
     with _abort_on_error(ctx):
         for epoch in range(start_epoch, cfg.max_epochs):
             ctx.epoch = epoch
-            for (batch_a, _), (batch_b, _) in device_prefetch(
+            if caches:
+                epoch_args = (cache_a.dataset, cache_b.dataset,
+                              cache_a.order_for_epoch(epoch),
+                              cache_b.order_for_epoch(epoch))
+                batches = (epoch_args for _ in range(cached_spe))
+            else:
+                batches = ((ba, bb) for (ba, _), (bb, _) in device_prefetch(
                     paired.epoch(epoch), mesh, spatial=_spatial(cfg),
-                    upload_format=_upload_format(cfg)):
+                    upload_format=_upload_format(cfg)))
+            for step_args in batches:
                 # Per-step key derivation happens inside the jitted step
                 # (from state.step) — no host device-op per iteration; batch
                 # uploads happen ahead on the prefetch thread.
                 if ctx.want_images():
-                    states, metrics, images = step_img(states, batch_a,
-                                                       batch_b, rng)
+                    states, metrics, images = step_img(states, *step_args,
+                                                       rng)
                     ctx.log_step(metrics, images, states=states, rng=rng)
                 else:
-                    states, metrics = step_plain(states, batch_a, batch_b,
-                                                 rng)
+                    states, metrics = step_plain(states, *step_args, rng)
                     ctx.log_step(metrics, states=states, rng=rng)
                 ctx.global_step += 1
                 if step_callback is not None:
@@ -214,21 +247,36 @@ def fit_denoiser(cfg: DenoiserConfig, *, max_steps: int | None = None,
     ctx = LoopContext(cfg, hparams, workload="denoiser", primary=is_primary())
     rng = jax.random.PRNGKey(cfg.seed)
     state = shard_state(trainer.init_state(rng), mesh)
-    step_plain = trainer.make_train_step(with_images=False)
-    step_img = trainer.make_train_step(with_images=True, donate=False)
+    caches = _device_cache(cfg, mesh, loader)
+    if caches:
+        from denoising_diffusion_deep_fake_tpu.training.cached import (
+            cached_steps_for)
+
+        (cache,) = caches
+        step_plain, step_img = cached_steps_for(
+            trainer, cache.steps_per_epoch, mesh=mesh)
+    else:
+        step_plain = trainer.make_train_step(with_images=False)
+        step_img = trainer.make_train_step(with_images=True, donate=False)
 
     done = False
     with _abort_on_error(ctx):
         for epoch in range(cfg.max_epochs):
             ctx.epoch = epoch
-            for batch, _ in device_prefetch(loader.epoch(epoch), mesh,
-                                            spatial=_spatial(cfg),
-                                            upload_format=_upload_format(cfg)):
+            if caches:
+                order = cache.order_for_epoch(epoch)
+                batches = ((cache.dataset, order)
+                           for _ in range(cache.steps_per_epoch))
+            else:
+                batches = ((batch,) for batch, _ in device_prefetch(
+                    loader.epoch(epoch), mesh, spatial=_spatial(cfg),
+                    upload_format=_upload_format(cfg)))
+            for step_args in batches:
                 if ctx.want_images():
-                    state, metrics, images = step_img(state, batch, rng)
+                    state, metrics, images = step_img(state, *step_args, rng)
                     ctx.log_step(metrics, images, states=state, rng=rng)
                 else:
-                    state, metrics = step_plain(state, batch, rng)
+                    state, metrics = step_plain(state, *step_args, rng)
                     ctx.log_step(metrics, states=state, rng=rng)
                 ctx.global_step += 1
                 if step_callback is not None:
@@ -279,21 +327,36 @@ def fit_balance(cfg: BalanceConfig, *, max_steps: int | None = None,
     ctx = LoopContext(cfg, hparams, workload="balance", primary=is_primary())
     rng = jax.random.PRNGKey(cfg.seed)
     state = shard_state(trainer.init_state(rng), mesh)
-    step_plain = trainer.make_train_step(with_images=False)
-    step_img = trainer.make_train_step(with_images=True, donate=False)
+    caches = _device_cache(cfg, mesh, loader)
+    if caches:
+        from denoising_diffusion_deep_fake_tpu.training.cached import (
+            cached_steps_for)
+
+        (cache,) = caches
+        step_plain, step_img = cached_steps_for(
+            trainer, cache.steps_per_epoch, mesh=mesh)
+    else:
+        step_plain = trainer.make_train_step(with_images=False)
+        step_img = trainer.make_train_step(with_images=True, donate=False)
 
     done = False
     with _abort_on_error(ctx):
         for epoch in range(cfg.max_epochs):
             ctx.epoch = epoch
-            for batch, _ in device_prefetch(loader.epoch(epoch), mesh,
-                                            spatial=_spatial(cfg),
-                                            upload_format=_upload_format(cfg)):
+            if caches:
+                order = cache.order_for_epoch(epoch)
+                batches = ((cache.dataset, order)
+                           for _ in range(cache.steps_per_epoch))
+            else:
+                batches = ((batch,) for batch, _ in device_prefetch(
+                    loader.epoch(epoch), mesh, spatial=_spatial(cfg),
+                    upload_format=_upload_format(cfg)))
+            for step_args in batches:
                 if ctx.want_images():
-                    state, metrics, images = step_img(state, batch, rng)
+                    state, metrics, images = step_img(state, *step_args, rng)
                     ctx.log_step(metrics, images, states=state, rng=rng)
                 else:
-                    state, metrics = step_plain(state, batch, rng)
+                    state, metrics = step_plain(state, *step_args, rng)
                     ctx.log_step(metrics, states=state, rng=rng)
                 ctx.global_step += 1
                 if step_callback is not None:

@@ -79,7 +79,7 @@ class StepTimer:
 
 
 def bench_e2e_denoiser(batch=256, size=64, steps=120, warm=20, n_images=1024,
-                       log_every=1, upload="rgb"):
+                       log_every=1, upload="rgb", data_cache="host"):
     from denoising_diffusion_deep_fake_tpu.config import (
         DenoiserConfig, config_from_dict)
     from denoising_diffusion_deep_fake_tpu.training.runners import fit_denoiser
@@ -94,6 +94,7 @@ def bench_e2e_denoiser(batch=256, size=64, steps=120, warm=20, n_images=1024,
             max_epochs=10_000, log_dir=str(tmp / "runs"),
             checkpoint_dir=str(tmp / "ckpt"),
             log_every_n_steps=log_every, upload_format=upload,
+            data_cache=data_cache,
             handle_preemption=False,  # let a wrapping `timeout` really kill us
             last_checkpoint_min_interval_s=1e9))  # no mid-run epoch saves
         timer = StepTimer(warm, steps)
@@ -105,7 +106,8 @@ def bench_e2e_denoiser(batch=256, size=64, steps=120, warm=20, n_images=1024,
         print(json.dumps({
             "metric": f"e2e_fit_denoiser_{size}px_b{batch}"
                       + ("" if log_every == 1 else f"_log{log_every}")
-                      + ("" if upload == "rgb" else f"_{upload}"),
+                      + ("" if upload == "rgb" else f"_{upload}")
+                      + ("" if data_cache == "host" else "_devcache"),
             "value": round(batch / dt, 1), "unit": "imgs/sec",
             "step_ms": round(dt * 1e3, 2)}), flush=True)
     finally:
@@ -113,7 +115,7 @@ def bench_e2e_denoiser(batch=256, size=64, steps=120, warm=20, n_images=1024,
 
 
 def bench_e2e_swap(batch=16, size=448, steps=40, warm=8, n_images=128,
-                   upload="rgb"):
+                   upload="rgb", data_cache="host"):
     """The reference's actual operating point: 448² crops, batch 14-16,
     two-identity swap training (`denoise_config.yml:1-14`)."""
     from denoising_diffusion_deep_fake_tpu.config import (
@@ -132,7 +134,7 @@ def bench_e2e_swap(batch=16, size=448, steps=40, warm=8, n_images=128,
             noise_exponential_sampling_lambda=8.0, ema_update_after_step=0,
             max_epochs=10_000, log_dir=str(tmp / "runs"),
             checkpoint_dir=str(tmp / "ckpt"), handle_preemption=False,
-            upload_format=upload,
+            upload_format=upload, data_cache=data_cache,
             last_checkpoint_min_interval_s=1e9))
         timer = StepTimer(warm, steps)
         try:
@@ -142,7 +144,8 @@ def bench_e2e_swap(batch=16, size=448, steps=40, warm=8, n_images=128,
         dt = timer.seconds_per_step()
         print(json.dumps({
             "metric": f"e2e_fit_swap_{size}px_b{batch}_two_models"
-                      + ("" if upload == "rgb" else f"_{upload}"),
+                      + ("" if upload == "rgb" else f"_{upload}")
+                      + ("" if data_cache == "host" else "_devcache"),
             "value": round(2 * batch / dt, 1), "unit": "imgs/sec",
             "step_ms": round(dt * 1e3, 2)}), flush=True)
     finally:
@@ -159,6 +162,11 @@ BENCHES = {
     # the upload bytes) and unpacked on-device at the top of the step.
     "denoiser64_i420": lambda: bench_e2e_denoiser(upload="i420"),
     "swap448_i420": lambda: bench_e2e_swap(upload="i420"),
+    # data_cache='device': dataset pinned in HBM, batches gathered in-jit —
+    # ZERO per-step host->device image bytes (the e2e ceiling is the bare
+    # step). See data/device_cache.py.
+    "denoiser64_devcache": lambda: bench_e2e_denoiser(data_cache="device"),
+    "swap448_devcache": lambda: bench_e2e_swap(data_cache="device"),
 }
 
 
