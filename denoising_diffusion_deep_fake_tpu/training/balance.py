@@ -118,6 +118,40 @@ class BalanceTrainer:
 
         return jax.jit(val_step)
 
+    def score_dataset_from_cache(self, state: ModelState, cache,
+                                 rng: jax.Array
+                                 ) -> tuple[np.ndarray, np.ndarray]:
+        """Score an HBM-resident dataset (``data_cache: device``).
+
+        Batches are static slices of the pinned uint8 dataset taken INSIDE
+        the jitted scorer, so the only per-batch link traffic is the (B,)
+        loss vector. Stable arange order (the validation pass is unshuffled);
+        the tail batch is padded by clamping the slice start, with the
+        overlap sliced off host-side. Single-process (the cache is).
+        """
+        val_step = self.make_validation_step()
+        n = int(cache.dataset.shape[0])
+        batch_size = cache.batch_size
+        if n < batch_size:
+            raise ValueError(f"dataset ({n}) smaller than batch "
+                             f"({batch_size})")
+
+        def score_slice(state, dataset, start, rng):
+            batch = jax.lax.dynamic_slice(
+                dataset, (start, 0, 0, 0),
+                (batch_size,) + dataset.shape[1:])
+            return val_step(state, batch, rng)
+
+        score = jax.jit(score_slice)
+        losses = np.empty(n, np.float32)
+        for step, pos in enumerate(range(0, n, batch_size)):
+            start = min(pos, n - batch_size)  # clamp: overlap, not pad
+            out = np.asarray(score(state, cache.dataset,
+                                   jnp.asarray(start, jnp.int32),
+                                   jax.random.fold_in(rng, step)))
+            losses[pos:pos + batch_size] = out[pos - start:]
+        return np.arange(n), losses
+
     def score_dataset(self, state: ModelState, loader, rng: jax.Array,
                       *, epoch: int = 0, mesh=None
                       ) -> tuple[np.ndarray, np.ndarray]:

@@ -377,9 +377,16 @@ def fit_balance(cfg: BalanceConfig, *, max_steps: int | None = None,
             # runs replicate each batch over the global mesh (every process
             # holds the full dataset — see above) so the replicated state
             # stays usable.
-            indices, losses = trainer.score_dataset(
-                state, val_loader,
-                jax.random.fold_in(rng, 2_000_000_000 + epoch), mesh=mesh)
+            val_rng = jax.random.fold_in(rng, 2_000_000_000 + epoch)
+            if caches:
+                # Score straight off the pinned dataset: in-jit slices, only
+                # the (B,) loss vectors cross the link. Its manifest order
+                # equals val_loader's (same manifest, unsharded).
+                indices, losses = trainer.score_dataset_from_cache(
+                    state, cache, val_rng)
+            else:
+                indices, losses = trainer.score_dataset(
+                    state, val_loader, val_rng, mesh=mesh)
             classes = compute_difficulty_index(losses, cfg.number_of_classes)
             if is_primary():
                 _log_difficulty_histogram(ctx, classes)

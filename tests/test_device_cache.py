@@ -116,6 +116,71 @@ def test_fit_denoiser_device_cache_data_parallel(tmp_path):
     assert len(losses) == 3 and np.isfinite(losses).all()
 
 
+def test_balance_cache_scoring_matches_host(tmp_path):
+    """score_dataset_from_cache == host score_dataset (n % B == 0 case)."""
+    from denoising_diffusion_deep_fake_tpu.training.balance import (
+        BalanceTrainer)
+
+    manifest = make_image_dataset(tmp_path, n=8, size=32)
+    cfg = config_from_dict(BalanceConfig, dict(
+        data_path=str(manifest), batch_size=4, image_size=32,
+        learning_rate=1e-3, encoder_name="resnet18", max_epochs=1,
+        ratio_of_noise=0.7, number_of_classes=4,
+        log_dir=str(tmp_path / "runs"), checkpoint_dir=str(tmp_path / "c")))
+    trainer = BalanceTrainer(cfg, steps_per_epoch=2, image_size=32)
+    state = trainer.init_state(jax.random.PRNGKey(0))
+
+    train_loader = ImageLoader(manifest, 4, image_size=32)
+    val_loader = ImageLoader(manifest, 4, image_size=32, shuffle=False,
+                             drop_remainder=False)
+    cache = DeviceDatasetCache(train_loader)
+    rng = jax.random.PRNGKey(7)
+    idx_host, loss_host = trainer.score_dataset(state, val_loader, rng)
+    idx_dev, loss_dev = trainer.score_dataset_from_cache(state, cache, rng)
+    np.testing.assert_array_equal(idx_dev, idx_host)
+    np.testing.assert_allclose(loss_dev, loss_host, rtol=1e-6)
+
+
+def test_balance_cache_scoring_tail(tmp_path):
+    """Remainder images are scored exactly once (clamped overlap slice)."""
+    from denoising_diffusion_deep_fake_tpu.training.balance import (
+        BalanceTrainer)
+
+    manifest = make_image_dataset(tmp_path, n=10, size=32)
+    cfg = config_from_dict(BalanceConfig, dict(
+        data_path=str(manifest), batch_size=4, image_size=32,
+        learning_rate=1e-3, encoder_name="resnet18", max_epochs=1,
+        ratio_of_noise=0.7, number_of_classes=4,
+        log_dir=str(tmp_path / "runs"), checkpoint_dir=str(tmp_path / "c")))
+    trainer = BalanceTrainer(cfg, steps_per_epoch=2, image_size=32)
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    cache = DeviceDatasetCache(ImageLoader(manifest, 4, image_size=32))
+    idx, losses = trainer.score_dataset_from_cache(state, cache,
+                                                   jax.random.PRNGKey(7))
+    assert idx.shape == losses.shape == (10,)
+    assert np.isfinite(losses).all()
+
+
+def test_fit_balance_device_cache_writes_manifest(tmp_path):
+    from denoising_diffusion_deep_fake_tpu.data.manifest import (
+        read_image_manifest_with_classes)
+    from denoising_diffusion_deep_fake_tpu.training.runners import fit_balance
+
+    manifest = make_image_dataset(tmp_path, n=8, size=32)
+    out_list = tmp_path / "balanced.txt"
+    cfg = config_from_dict(BalanceConfig, dict(
+        data_path=str(manifest), batch_size=4, image_size=32,
+        learning_rate=1e-3, encoder_name="resnet18", max_epochs=1,
+        ratio_of_noise=0.7, number_of_classes=3,
+        output_image_list_path=str(out_list), data_cache="device",
+        log_dir=str(tmp_path / "runs"), checkpoint_dir=str(tmp_path / "c"),
+        last_checkpoint_min_interval_s=1e9, handle_preemption=False))
+    fit_balance(cfg, verbose=False)
+    paths, classes = read_image_manifest_with_classes(out_list)
+    assert len(paths) == 8 and classes is not None
+    assert set(int(c) for c in classes) <= {0, 1, 2}
+
+
 def test_fit_deep_fake_device_cache_runs(tmp_path):
     ma = make_image_dataset(tmp_path / "a", n=8, size=32, seed=1)
     mb = make_image_dataset(tmp_path / "b", n=8, size=32, seed=2)
