@@ -50,8 +50,12 @@ class DeviceDatasetCache:
                 f"dataset is {nbytes / 1e9:.2f} GB decoded — over the "
                 f"device_cache_limit_bytes ({limit_bytes / 1e9:.2f} GB); "
                 "use data_cache='host' or raise the limit")
+        if n < loader.batch_size:
+            raise ValueError(f"dataset ({n} images) smaller than one batch "
+                             f"({loader.batch_size})")
         self.loader = loader
         self.batch_size = loader.batch_size
+        self.n_images = n
         # Replicate over the mesh (multi-device DP holds one copy per device
         # so each shard's gather is local; the per-step batch is then
         # sharding-constrained onto the 'data' axis — training/cached.py).
@@ -60,14 +64,24 @@ class DeviceDatasetCache:
             from jax.sharding import NamedSharding, PartitionSpec
 
             self._sharding = NamedSharding(mesh, PartitionSpec())
-        # Decode everything once (native decoder / RAM cache reused).
-        images, _ = loader._load_batch(np.arange(n))
+        # Decode everything once, BYPASSING the loader's RAM cache: the HBM
+        # copy replaces it, and filling the store would pin a second full
+        # copy in host RAM for the run's lifetime (only _epoch_order — pure
+        # index math — is used after upload). Reuse already-decoded rows if
+        # the store happens to be full.
+        if loader._cache_enabled and bool(loader._cache_valid.all()):
+            images = loader._cache_store
+        else:
+            images = loader._decode_batch(np.arange(n))
         self.dataset = jax.device_put(np.ascontiguousarray(images),
                                       self._sharding)
 
     @property
     def steps_per_epoch(self) -> int:
-        return self.loader.batches_per_epoch
+        # Whole batches ONLY, regardless of the loader's drop_remainder: the
+        # epoch order is trimmed to whole batches, and a partial-batch step
+        # would silently re-train a clamped overlap slice.
+        return self.n_images // self.batch_size
 
     def order_for_epoch(self, epoch: int) -> jax.Array:
         order = self.loader._epoch_order(epoch)

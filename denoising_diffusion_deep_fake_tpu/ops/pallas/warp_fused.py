@@ -43,33 +43,12 @@ from jax.experimental.pallas import tpu as pltpu
 from denoising_diffusion_deep_fake_tpu.ops.pallas.warp_kernel import (
     K,
     ROWS,
-    TAPS,
     WGT_PAD,
     _round_up,
+    band_matrix,
+    pass_scalars,
+    residual_mac,
 )
-
-
-def _band_matrix(alpha, base, n_in: int, n_win: int):
-    """Banded hat-interpolation matrix folding centered scale + block shift.
-
-    ``S[i, o] = hat(alpha * (o - K + base - c) + c - i)`` with ``c = n_in/2``;
-    columns landing outside ``[0, n_in)`` match no row -> zero border.
-    """
-    c = n_in / 2.0
-    i_idx = jax.lax.broadcasted_iota(jnp.int32, (n_in, n_win),
-                                     0).astype(jnp.float32)
-    o_idx = jax.lax.broadcasted_iota(jnp.int32, (n_in, n_win),
-                                     1).astype(jnp.float32)
-    src = alpha * (o_idx - float(K) + base - c) + c
-    return jnp.clip(1.0 - jnp.abs(src - i_idx), 0.0, 1.0)
-
-
-def _residual_mac(g_win, wgt, n: int):
-    """25-tap residual blend: ``out[r, t] = sum_j wgt[r, j] g_win[r, j+t]``."""
-    acc = jnp.zeros((g_win.shape[0], n), jnp.float32)
-    for j in range(TAPS):
-        acc = acc + wgt[:, j][:, None] * g_win[:, j:j + n]
-    return acc
 
 
 def _fused_warp_kernel(ax_ref, ay_ref, bx_ref, by_ref,   # scalar prefetch
@@ -94,7 +73,7 @@ def _fused_warp_kernel(ax_ref, ay_ref, bx_ref, by_ref,   # scalar prefetch
     # shared by the channels of a block (warp params are per-sample).
     for j in range(h // ROWS):
         base = bx_ref[bi, j].astype(jnp.float32)
-        s_x = _band_matrix(ax, base, w, w_win).astype(jnp.bfloat16)
+        s_x = band_matrix(ax, base, w, w_win).astype(jnp.bfloat16)
         wgt = wx_ref[0, j * ROWS:(j + 1) * ROWS, :]
         for ch in range(channels):
             tile = img_ref[0, ch, j * ROWS:(j + 1) * ROWS, :].astype(
@@ -106,7 +85,7 @@ def _fused_warp_kernel(ax_ref, ay_ref, bx_ref, by_ref,   # scalar prefetch
                 # elementwise-identical to normalize->two-pass-kernel.
             g = jnp.dot(tile.astype(jnp.bfloat16), s_x,
                         preferred_element_type=jnp.float32)
-            t_ref[ch, j * ROWS:(j + 1) * ROWS, :] = _residual_mac(
+            t_ref[ch, j * ROWS:(j + 1) * ROWS, :] = residual_mac(
                 g, wgt, w).astype(jnp.bfloat16)
 
     # Phase 2 — y-pass over (H, 32-column) tiles of the scratch. Contracting
@@ -114,36 +93,15 @@ def _fused_warp_kernel(ax_ref, ay_ref, bx_ref, by_ref,   # scalar prefetch
     # rows are the 32 x-positions, lanes the y interpolation window.
     for m in range(w // ROWS):
         base = by_ref[bi, m].astype(jnp.float32)
-        s_y = _band_matrix(ay, base, h, h_win).astype(jnp.bfloat16)
+        s_y = band_matrix(ay, base, h, h_win).astype(jnp.bfloat16)
         wgt = wy_ref[0, m * ROWS:(m + 1) * ROWS, :]
         for ch in range(channels):
             tile = t_ref[ch, :, m * ROWS:(m + 1) * ROWS]       # (H, 32)
             g = jax.lax.dot_general(
                 tile, s_y, dimension_numbers=(((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)            # (32, h_win)
-            out_ref[0, ch, m * ROWS:(m + 1) * ROWS, :] = _residual_mac(
+            out_ref[0, ch, m * ROWS:(m + 1) * ROWS, :] = residual_mac(
                 g, wgt, h)
-
-
-def _pass_scalars(alpha, shift, n_resample: int):
-    """Per-block integer base + per-line residual hat weights for one pass.
-
-    Same displacement algebra as ``_hybrid_axis_pass``: in scaled coordinates
-    ``g[t + d] = img[alpha t + shift]`` with ``d = (shift - (1-alpha) c) /
-    alpha`` and ``c`` the RESAMPLE-axis center. ``shift`` is per line of the
-    other axis — blocking runs over that axis (``shift.shape[1]``).
-    """
-    c = n_resample / 2.0
-    d = (shift - (1.0 - alpha[:, None]) * c) / alpha[:, None]
-    b, n = d.shape
-    nb = n // ROWS
-    d_blocks = d.reshape(b, nb, ROWS)
-    base = jnp.round(d_blocks[:, :, ROWS // 2]).astype(jnp.int32)
-    resid = d_blocks - base[:, :, None].astype(jnp.float32)
-    taps = jnp.arange(TAPS, dtype=jnp.float32) - float(K)
-    wgt = jnp.clip(1.0 - jnp.abs(resid[..., None] - taps), 0.0, 1.0)
-    wgt = jnp.pad(wgt, ((0, 0), (0, 0), (0, 0), (0, WGT_PAD - TAPS)))
-    return base, wgt.reshape(b, n, WGT_PAD)
 
 
 def affine_warp_pallas_fused(images: jax.Array, params: dict, *,
@@ -186,8 +144,8 @@ def affine_warp_pallas_fused(images: jax.Array, params: dict, *,
     xs = jnp.arange(w, dtype=jnp.float32)
     shift_y = i10[:, None] * xs[None, :] + ity[:, None]         # (B, W)
 
-    base_x, wgt_x = _pass_scalars(alpha_x, shift_x, w)   # blocks over H rows
-    base_y, wgt_y = _pass_scalars(alpha_y, shift_y, h)   # blocks over W cols
+    base_x, wgt_x = pass_scalars(alpha_x, shift_x, w)   # blocks over H rows
+    base_y, wgt_y = pass_scalars(alpha_y, shift_y, h)   # blocks over W cols
 
     img_nchw = jnp.transpose(
         images if norm is not None else images.astype(jnp.float32),

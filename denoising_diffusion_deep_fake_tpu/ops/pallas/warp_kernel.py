@@ -48,25 +48,61 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
+def band_matrix(alpha, base, n_in: int, n_win: int):
+    """Banded hat-interpolation matrix folding centered scale + block shift.
+
+    ``S[i, o] = hat(src(o) - i)`` with ``src(o) = alpha * (o - K + base - c)
+    + c``, ``c = n_in/2`` (the rotation center); src outside ``[0, n_in)``
+    matches no row -> zero border. Shared by the two-pass and fused kernels
+    — their exact-equality contract (tests/test_warp_fused.py) hangs on this
+    being ONE implementation. Mosaic's iota is integer-only; cast after.
+    """
+    c = n_in / 2.0
+    i_idx = jax.lax.broadcasted_iota(jnp.int32, (n_in, n_win),
+                                     0).astype(jnp.float32)
+    o_idx = jax.lax.broadcasted_iota(jnp.int32, (n_in, n_win),
+                                     1).astype(jnp.float32)
+    src = alpha * (o_idx - float(K) + base - c) + c
+    return jnp.clip(1.0 - jnp.abs(src - i_idx), 0.0, 1.0)
+
+
+def residual_mac(g_win, wgt, n: int):
+    """25-tap residual blend: ``out[r, t] = sum_j wgt[r, j] g_win[r, j+t]``
+    (per-row weights on sublanes, static lane-offset slices; VPU FMAs)."""
+    acc = jnp.zeros((g_win.shape[0], n), jnp.float32)
+    for j in range(TAPS):
+        acc = acc + wgt[:, j][:, None] * g_win[:, j:j + n]
+    return acc
+
+
+def pass_scalars(alpha, shift, n_resample: int):
+    """Per-block integer base + per-line residual hat weights for one pass.
+
+    Displacement in scaled coordinates: ``g[t + d] = img[alpha t + shift]``
+    with ``d = (shift - (1-alpha) c) / alpha`` and ``c`` the RESAMPLE-axis
+    center; blocking runs over ``shift``'s axis. Returns ``(base (B, nb)
+    int32, wgt (B, n, WGT_PAD) f32)``. Host-side XLA (tiny arrays).
+    """
+    c = n_resample / 2.0
+    d = (shift - (1.0 - alpha[:, None]) * c) / alpha[:, None]
+    b, n = d.shape
+    nb = n // ROWS
+    d_blocks = d.reshape(b, nb, ROWS)
+    base = jnp.round(d_blocks[:, :, ROWS // 2]).astype(jnp.int32)
+    resid = d_blocks - base[:, :, None].astype(jnp.float32)
+    taps = jnp.arange(TAPS, dtype=jnp.float32) - float(K)
+    wgt = jnp.clip(1.0 - jnp.abs(resid[..., None] - taps), 0.0, 1.0)
+    wgt = jnp.pad(wgt, ((0, 0), (0, 0), (0, 0), (0, WGT_PAD - TAPS)))
+    return base, wgt.reshape(b, n, WGT_PAD)
+
+
 def _warp_pass_kernel(alpha_ref, base_ref, wgt_ref, img_ref, out_ref, *,
                       w: int, w_win: int, channels: int):
     """One (sample, row-block) tile: scale+shift matmul, residual MAC."""
     # alpha/base arrive whole via scalar prefetch (SMEM); index by grid pos.
     alpha = alpha_ref[pl.program_id(0)]
     base = base_ref[pl.program_id(0), pl.program_id(1)].astype(jnp.float32)
-    half_w = w / 2.0  # rotation center (cx)
-
-    # Banded interpolation matrix S[i, o] = hat(src(o) - i) where
-    # src(o) = alpha * (o - K + base - cx) + cx   for o in [0, w_win).
-    # Folds the centered scale AND the block-integer shift; src outside
-    # [0, w_in) matches no i -> zero border.
-    # Mosaic's iota is integer-only; cast to f32 after.
-    i_idx = jax.lax.broadcasted_iota(jnp.int32, (w, w_win),
-                                     0).astype(jnp.float32)
-    o_idx = jax.lax.broadcasted_iota(jnp.int32, (w, w_win),
-                                     1).astype(jnp.float32)
-    src = alpha * (o_idx - float(K) + base - half_w) + half_w
-    s_mat = jnp.clip(1.0 - jnp.abs(src - i_idx), 0.0, 1.0)
+    s_mat = band_matrix(alpha, base, w, w_win)
 
     # bf16 matmul (8x the fp32 MXU rate); S entries are interpolation
     # weights in [0,1] and the data is normalized images — bf16 rounding is
@@ -79,11 +115,7 @@ def _warp_pass_kernel(alpha_ref, base_ref, wgt_ref, img_ref, out_ref, *,
                     preferred_element_type=jnp.float32)
 
     # Residual 25-tap blend, per-(row,channel) weights; reads hit VMEM.
-    wgt = wgt_ref[0]  # (ROWS*C, WGT_PAD)
-    acc = jnp.zeros((ROWS * channels, w), jnp.float32)
-    for j in range(TAPS):
-        acc = acc + wgt[:, j][:, None] * g_win[:, j:j + w]
-    out_ref[0] = acc
+    out_ref[0] = residual_mac(g_win, wgt_ref[0], w)
 
 
 def warp_axis_pass_pallas(img_bhcw: jax.Array, alpha: jax.Array,
@@ -105,19 +137,11 @@ def warp_axis_pass_pallas(img_bhcw: jax.Array, alpha: jax.Array,
     w_win = _round_up(w + 2 * K, 128)
 
     # Displacement in scale-output coordinates (see _hybrid_axis_pass):
-    # g[x] = img[alpha (x - cx) + cx]; out[v, x] = g[x + d[v]].
-    cx = w / 2.0
-    d = (shift - (1.0 - alpha[:, None]) * cx) / alpha[:, None]     # (B, H)
-    d_blocks = d.reshape(b, nb, ROWS)
-    base = jnp.round(d_blocks[:, :, ROWS // 2]).astype(jnp.int32)  # (B, nb)
-    resid = d_blocks - base[:, :, None].astype(jnp.float32)        # |r| <= K
-
-    # Per-row residual hat weights, built once in XLA (tiny: B*H*32 floats),
-    # replicated per channel so kernel rows line up with the (H*C, W) layout.
-    taps = jnp.arange(TAPS, dtype=jnp.float32) - float(K)
-    wgt = jnp.clip(1.0 - jnp.abs(resid[..., None] - taps), 0.0, 1.0)
-    wgt = jnp.pad(wgt, ((0, 0), (0, 0), (0, 0), (0, WGT_PAD - TAPS)))
-    wgt = jnp.repeat(wgt.reshape(b, h, WGT_PAD), c, axis=1)      # (B, H*C, .)
+    # g[x] = img[alpha (x - cx) + cx]; out[v, x] = g[x + d[v]]. Weights are
+    # built once in XLA (tiny: B*H*32 floats) and replicated per channel so
+    # kernel rows line up with the (H*C, W) layout.
+    base, wgt = pass_scalars(alpha, shift, w)                  # (B,nb),(B,H,.)
+    wgt = jnp.repeat(wgt, c, axis=1)                           # (B, H*C, .)
 
     # (B, H, C, W) -> (B, H*C, W) is a free reshape (row-major); the kernel
     # then sees plain 2-D (ROWS*C, W) tiles with rows on sublanes.

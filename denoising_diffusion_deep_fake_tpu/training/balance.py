@@ -119,37 +119,41 @@ class BalanceTrainer:
         return jax.jit(val_step)
 
     def score_dataset_from_cache(self, state: ModelState, cache,
-                                 rng: jax.Array
+                                 rng: jax.Array, *, mesh=None
                                  ) -> tuple[np.ndarray, np.ndarray]:
         """Score an HBM-resident dataset (``data_cache: device``).
 
-        Batches are static slices of the pinned uint8 dataset taken INSIDE
-        the jitted scorer, so the only per-batch link traffic is the (B,)
-        loss vector. Stable arange order (the validation pass is unshuffled);
-        the tail batch is padded by clamping the slice start, with the
-        overlap sliced off host-side. Single-process (the cache is).
+        Batches are gathered from the pinned uint8 dataset INSIDE the jitted
+        scorer, so the only per-batch link traffic is the (B,) loss vector.
+        Semantics match ``score_dataset`` exactly: stable arange order, and
+        the tail batch repeats the LAST image (index clipping == the host
+        path's pad-by-repeat), so tail images sit at the same batch
+        positions and draw the same per-position noise — identical losses
+        for every image across data_cache modes. With a multi-device
+        ``mesh`` the gathered batch is sharding-constrained onto the 'data'
+        axis like the host scorer. Single-process (the cache is).
         """
+        from denoising_diffusion_deep_fake_tpu.training.cached import (
+            _data_sharder)
+
         val_step = self.make_validation_step()
         n = int(cache.dataset.shape[0])
         batch_size = cache.batch_size
-        if n < batch_size:
-            raise ValueError(f"dataset ({n}) smaller than batch "
-                             f"({batch_size})")
+        shard = _data_sharder(mesh)
 
         def score_slice(state, dataset, start, rng):
-            batch = jax.lax.dynamic_slice(
-                dataset, (start, 0, 0, 0),
-                (batch_size,) + dataset.shape[1:])
+            idx = jnp.clip(start + jnp.arange(batch_size, dtype=jnp.int32),
+                           0, n - 1)
+            batch = shard(jnp.take(dataset, idx, axis=0))
             return val_step(state, batch, rng)
 
         score = jax.jit(score_slice)
         losses = np.empty(n, np.float32)
         for step, pos in enumerate(range(0, n, batch_size)):
-            start = min(pos, n - batch_size)  # clamp: overlap, not pad
             out = np.asarray(score(state, cache.dataset,
-                                   jnp.asarray(start, jnp.int32),
+                                   jnp.asarray(pos, jnp.int32),
                                    jax.random.fold_in(rng, step)))
-            losses[pos:pos + batch_size] = out[pos - start:]
+            losses[pos:pos + batch_size] = out[:n - pos]
         return np.arange(n), losses
 
     def score_dataset(self, state: ModelState, loader, rng: jax.Array,

@@ -101,6 +101,31 @@ def _device_cache(cfg, mesh, *loaders):
             for ld in loaders]
 
 
+def _build_steps(cfg, mesh, trainer, *loaders, paired: bool = False):
+    """(caches, step_plain, step_img, cached_spe) — one place that decides
+    between the host-loader step pair and the device-cache step pair."""
+    caches = _device_cache(cfg, mesh, *loaders)
+    if caches:
+        from denoising_diffusion_deep_fake_tpu.training.cached import (
+            cached_steps_for)
+
+        # Multi-loader (paired) epoch length is the shorter identity's —
+        # PairedLoader semantics.
+        spe = min(c.steps_per_epoch for c in caches)
+        plain, img = cached_steps_for(trainer, spe, paired=paired, mesh=mesh)
+        return caches, plain, img, spe
+    return (None, trainer.make_train_step(with_images=False),
+            trainer.make_train_step(with_images=True, donate=False), None)
+
+
+def _cached_batches(caches, spe: int, epoch: int):
+    """Per-epoch step-arg stream for the cached path: datasets (constant) +
+    this epoch's permutation vectors, repeated ``spe`` times."""
+    args = (tuple(c.dataset for c in caches)
+            + tuple(c.order_for_epoch(epoch) for c in caches))
+    return (args for _ in range(spe))
+
+
 @contextlib.contextmanager
 def _abort_on_error(ctx: LoopContext):
     """Tear the loop services down on ANY exception escaping the train loop
@@ -166,29 +191,15 @@ def fit_deep_fake(cfg: DeepFakeConfig, *, resume_from: str | None = None,
         states = trainer.init_states(rng)
 
     states = shard_state(states, mesh)
-    caches = _device_cache(cfg, mesh, loader_a, loader_b)
-    if caches:
-        from denoising_diffusion_deep_fake_tpu.training.cached import (
-            cached_steps_for)
-
-        cache_a, cache_b = caches
-        # PairedLoader semantics: epoch length is the shorter identity's.
-        cached_spe = min(cache_a.steps_per_epoch, cache_b.steps_per_epoch)
-        step_plain, step_img = cached_steps_for(trainer, cached_spe,
-                                                paired=True, mesh=mesh)
-    else:
-        step_plain = trainer.make_train_step(with_images=False)
-        step_img = trainer.make_train_step(with_images=True, donate=False)
+    caches, step_plain, step_img, cached_spe = _build_steps(
+        cfg, mesh, trainer, loader_a, loader_b, paired=True)
 
     done = False
     with _abort_on_error(ctx):
         for epoch in range(start_epoch, cfg.max_epochs):
             ctx.epoch = epoch
             if caches:
-                epoch_args = (cache_a.dataset, cache_b.dataset,
-                              cache_a.order_for_epoch(epoch),
-                              cache_b.order_for_epoch(epoch))
-                batches = (epoch_args for _ in range(cached_spe))
+                batches = _cached_batches(caches, cached_spe, epoch)
             else:
                 batches = ((ba, bb) for (ba, _), (bb, _) in device_prefetch(
                     paired.epoch(epoch), mesh, spatial=_spatial(cfg),
@@ -247,26 +258,15 @@ def fit_denoiser(cfg: DenoiserConfig, *, max_steps: int | None = None,
     ctx = LoopContext(cfg, hparams, workload="denoiser", primary=is_primary())
     rng = jax.random.PRNGKey(cfg.seed)
     state = shard_state(trainer.init_state(rng), mesh)
-    caches = _device_cache(cfg, mesh, loader)
-    if caches:
-        from denoising_diffusion_deep_fake_tpu.training.cached import (
-            cached_steps_for)
-
-        (cache,) = caches
-        step_plain, step_img = cached_steps_for(
-            trainer, cache.steps_per_epoch, mesh=mesh)
-    else:
-        step_plain = trainer.make_train_step(with_images=False)
-        step_img = trainer.make_train_step(with_images=True, donate=False)
+    caches, step_plain, step_img, cached_spe = _build_steps(
+        cfg, mesh, trainer, loader)
 
     done = False
     with _abort_on_error(ctx):
         for epoch in range(cfg.max_epochs):
             ctx.epoch = epoch
             if caches:
-                order = cache.order_for_epoch(epoch)
-                batches = ((cache.dataset, order)
-                           for _ in range(cache.steps_per_epoch))
+                batches = _cached_batches(caches, cached_spe, epoch)
             else:
                 batches = ((batch,) for batch, _ in device_prefetch(
                     loader.epoch(epoch), mesh, spatial=_spatial(cfg),
@@ -327,26 +327,15 @@ def fit_balance(cfg: BalanceConfig, *, max_steps: int | None = None,
     ctx = LoopContext(cfg, hparams, workload="balance", primary=is_primary())
     rng = jax.random.PRNGKey(cfg.seed)
     state = shard_state(trainer.init_state(rng), mesh)
-    caches = _device_cache(cfg, mesh, loader)
-    if caches:
-        from denoising_diffusion_deep_fake_tpu.training.cached import (
-            cached_steps_for)
-
-        (cache,) = caches
-        step_plain, step_img = cached_steps_for(
-            trainer, cache.steps_per_epoch, mesh=mesh)
-    else:
-        step_plain = trainer.make_train_step(with_images=False)
-        step_img = trainer.make_train_step(with_images=True, donate=False)
+    caches, step_plain, step_img, cached_spe = _build_steps(
+        cfg, mesh, trainer, loader)
 
     done = False
     with _abort_on_error(ctx):
         for epoch in range(cfg.max_epochs):
             ctx.epoch = epoch
             if caches:
-                order = cache.order_for_epoch(epoch)
-                batches = ((cache.dataset, order)
-                           for _ in range(cache.steps_per_epoch))
+                batches = _cached_batches(caches, cached_spe, epoch)
             else:
                 batches = ((batch,) for batch, _ in device_prefetch(
                     loader.epoch(epoch), mesh, spatial=_spatial(cfg),
@@ -383,7 +372,7 @@ def fit_balance(cfg: BalanceConfig, *, max_steps: int | None = None,
                 # the (B,) loss vectors cross the link. Its manifest order
                 # equals val_loader's (same manifest, unsharded).
                 indices, losses = trainer.score_dataset_from_cache(
-                    state, cache, val_rng)
+                    state, caches[0], val_rng, mesh=mesh)
             else:
                 indices, losses = trainer.score_dataset(
                     state, val_loader, val_rng, mesh=mesh)

@@ -141,8 +141,9 @@ def test_balance_cache_scoring_matches_host(tmp_path):
     np.testing.assert_allclose(loss_dev, loss_host, rtol=1e-6)
 
 
-def test_balance_cache_scoring_tail(tmp_path):
-    """Remainder images are scored exactly once (clamped overlap slice)."""
+def test_balance_cache_scoring_tail_matches_host(tmp_path):
+    """Tail batch: index-clipping == host pad-by-repeat -> identical losses
+    for every image, including the remainder."""
     from denoising_diffusion_deep_fake_tpu.training.balance import (
         BalanceTrainer)
 
@@ -155,10 +156,21 @@ def test_balance_cache_scoring_tail(tmp_path):
     trainer = BalanceTrainer(cfg, steps_per_epoch=2, image_size=32)
     state = trainer.init_state(jax.random.PRNGKey(0))
     cache = DeviceDatasetCache(ImageLoader(manifest, 4, image_size=32))
-    idx, losses = trainer.score_dataset_from_cache(state, cache,
-                                                   jax.random.PRNGKey(7))
+    val_loader = ImageLoader(manifest, 4, image_size=32, shuffle=False,
+                             drop_remainder=False)
+    rng = jax.random.PRNGKey(7)
+    idx_host, loss_host = trainer.score_dataset(state, val_loader, rng)
+    idx, losses = trainer.score_dataset_from_cache(state, cache, rng)
     assert idx.shape == losses.shape == (10,)
-    assert np.isfinite(losses).all()
+    np.testing.assert_array_equal(idx, idx_host)
+    np.testing.assert_allclose(losses, loss_host, rtol=1e-6)
+
+
+def test_device_cache_rejects_small_dataset(tmp_path):
+    manifest = make_image_dataset(tmp_path, n=3, size=32)
+    with pytest.raises(ValueError, match="smaller than one batch"):
+        DeviceDatasetCache(ImageLoader(manifest, 4, image_size=32,
+                                       drop_remainder=False))
 
 
 def test_fit_balance_device_cache_writes_manifest(tmp_path):
