@@ -95,6 +95,13 @@ class BaseConfig:
     # Refuse to device-cache datasets larger than this (HBM headroom for
     # params/activations comes first).
     device_cache_limit_bytes: int = 8 << 30
+    # Affine-warp implementation (ops/augment.py augment_batch):
+    #   auto (default) picks per shape/backend/mesh; explicit choices:
+    #   gather (direct 4-tap bilinear, parity semantics), shear (windowed
+    #   MAC, small shapes), hybrid (scale matmul + block roll, large
+    #   shapes), pallas (VMEM two-pass kernel), pallas_fused (whole-sample
+    #   one-kernel warp incl. in-kernel uint8 normalize).
+    warp_method: str = "auto"
 
     def validate(self) -> None:
         if self.batch_size <= 0:
@@ -145,6 +152,17 @@ class BaseConfig:
             raise ValueError(
                 "data_cache='device' supports the data axis only; use "
                 "data_cache='host' with spatial_parallel > 1")
+        if self.warp_method not in ("auto", "gather", "shear", "hybrid",
+                                    "pallas", "pallas_fused"):
+            raise ValueError(f"unknown warp_method {self.warp_method!r}")
+        if (self.warp_method in ("pallas", "pallas_fused")
+                and (self.data_parallel > 1 or self.spatial_parallel > 1)):
+            # pallas_call has no GSPMD partitioning rule: inside a
+            # multi-device-sharded step it breaks or forces an all-gather
+            # (see ops/augment.py auto notes and the multi-host pitfalls).
+            raise ValueError(
+                f"warp_method={self.warp_method!r} is single-device; "
+                "use 'auto' (which guards) or an XLA method when sharding")
 
     @property
     def cosine_t_max(self) -> int:

@@ -171,10 +171,11 @@ class DeepFakeTrainer:
         # pinned golden losses — are unchanged by the drop-key addition.
         k_drop_a, k_drop_b = jax.random.fold_in(k_a, 1), jax.random.fold_in(k_b, 1)
 
+        warp = getattr(cfg, "warp_method", "auto")
         real_a = augment_batch(k_aug_a, batch_a_u8, cfg.mean_a, cfg.std_a,
-                               self.aug)
+                               self.aug, method=warp)
         real_b = augment_batch(k_aug_b, batch_b_u8, cfg.mean_b, cfg.std_b,
-                               self.aug)
+                               self.aug, method=warp)
 
         metrics: dict[str, Any] = {}
         images: dict[str, Any] = {}

@@ -79,7 +79,8 @@ class DenoiserTrainer:
         # fold_in (not a wider split) keeps the aug/noise streams — and the
         # pinned golden losses — unchanged by the drop-key addition.
         k_drop = jax.random.fold_in(rng, 1)
-        image = augment_batch(k_aug, batch_u8, cfg.mean, cfg.std, self.aug)
+        image = augment_batch(k_aug, batch_u8, cfg.mean, cfg.std, self.aug,
+                              method=getattr(cfg, "warp_method", "auto"))
         noisy, _ = blend_random_amount_of_noise(
             k_noise, image, cfg.noise_exponential_sampling_lambda)
 

@@ -108,3 +108,44 @@ def test_rejects_unaligned():
     params = {k: v[:1] for k, v in _params().items()}
     with pytest.raises(ValueError, match="multiples"):
         affine_warp_pallas_fused(img, params, interpret=True)
+
+
+def test_warp_method_config_knob(tmp_path):
+    """fit_denoiser trains through warp_method=pallas_fused end to end."""
+    import sys
+
+    sys.path.insert(0, str(__import__("pathlib").Path(__file__).parent))
+    from helpers import make_image_dataset
+
+    from denoising_diffusion_deep_fake_tpu.config import (
+        DenoiserConfig, config_from_dict)
+    from denoising_diffusion_deep_fake_tpu.training.runners import (
+        fit_denoiser)
+
+    manifest = make_image_dataset(tmp_path, n=8, size=32)
+    losses = []
+    cfg = config_from_dict(DenoiserConfig, dict(
+        input_image_list_path=str(manifest), batch_size=4, image_size=32,
+        learning_rate=1e-3, encoder_name="resnet18", max_epochs=1,
+        noise_exponential_sampling_lambda=5.0, warp_method="pallas_fused",
+        log_dir=str(tmp_path / "runs"), checkpoint_dir=str(tmp_path / "c"),
+        last_checkpoint_min_interval_s=1e9, handle_preemption=False))
+    fit_denoiser(cfg, max_steps=2, verbose=False,
+                 step_callback=lambda s, st, m: losses.append(
+                     float(m["loss"])))
+    assert len(losses) == 2 and np.isfinite(losses).all()
+
+
+def test_warp_method_validation():
+    from denoising_diffusion_deep_fake_tpu.config import (
+        DenoiserConfig, config_from_dict)
+
+    base = dict(input_image_list_path="x", batch_size=4, image_size=32,
+                learning_rate=1e-3, encoder_name="resnet18", max_epochs=1)
+    with pytest.raises(ValueError, match="unknown warp_method"):
+        config_from_dict(DenoiserConfig,
+                         dict(base, warp_method="fused")).validate()
+    with pytest.raises(ValueError, match="single-device"):
+        config_from_dict(DenoiserConfig,
+                         dict(base, warp_method="pallas",
+                              data_parallel=4)).validate()

@@ -115,7 +115,7 @@ def bench_e2e_denoiser(batch=256, size=64, steps=120, warm=20, n_images=1024,
 
 
 def bench_e2e_swap(batch=16, size=448, steps=40, warm=8, n_images=128,
-                   upload="rgb", data_cache="host"):
+                   upload="rgb", data_cache="host", warp="auto"):
     """The reference's actual operating point: 448² crops, batch 14-16,
     two-identity swap training (`denoise_config.yml:1-14`)."""
     from denoising_diffusion_deep_fake_tpu.config import (
@@ -134,7 +134,7 @@ def bench_e2e_swap(batch=16, size=448, steps=40, warm=8, n_images=128,
             noise_exponential_sampling_lambda=8.0, ema_update_after_step=0,
             max_epochs=10_000, log_dir=str(tmp / "runs"),
             checkpoint_dir=str(tmp / "ckpt"), handle_preemption=False,
-            upload_format=upload, data_cache=data_cache,
+            upload_format=upload, data_cache=data_cache, warp_method=warp,
             last_checkpoint_min_interval_s=1e9))
         timer = StepTimer(warm, steps)
         try:
@@ -145,7 +145,8 @@ def bench_e2e_swap(batch=16, size=448, steps=40, warm=8, n_images=128,
         print(json.dumps({
             "metric": f"e2e_fit_swap_{size}px_b{batch}_two_models"
                       + ("" if upload == "rgb" else f"_{upload}")
-                      + ("" if data_cache == "host" else "_devcache"),
+                      + ("" if data_cache == "host" else "_devcache")
+                      + ("" if warp == "auto" else f"_{warp}"),
             "value": round(2 * batch / dt, 1), "unit": "imgs/sec",
             "step_ms": round(dt * 1e3, 2)}), flush=True)
     finally:
@@ -167,6 +168,10 @@ BENCHES = {
     # step). See data/device_cache.py.
     "denoiser64_devcache": lambda: bench_e2e_denoiser(data_cache="device"),
     "swap448_devcache": lambda: bench_e2e_swap(data_cache="device"),
+    # Fused whole-sample warp on top of the device cache — the all-in
+    # configuration at the reference operating point.
+    "swap448_devcache_fused": lambda: bench_e2e_swap(
+        data_cache="device", warp="pallas_fused"),
 }
 
 
