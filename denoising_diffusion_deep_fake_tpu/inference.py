@@ -106,7 +106,7 @@ def load_swap_model(checkpoint_path, model_a_or_b: str, *,
 
 
 def make_device_pipeline(model: SwapModel, *, sampler_steps: int = 0,
-                         transfer: str = "rgb"
+                         transfer: str = "rgb", device=None
                          ) -> Callable[[jax.Array, jax.Array, jax.Array],
                                        jax.Array]:
     """Jit the full uint8->uint8 swap pipeline for one SwapModel.
@@ -133,6 +133,11 @@ def make_device_pipeline(model: SwapModel, *, sampler_steps: int = 0,
         raise ValueError(f"transfer must be 'rgb' or 'i420', got {transfer!r}")
     predict = model.trainer.make_predict_fake(use_ema=False)
     state = model.state
+    if device is not None:
+        # Replica placement (multi-device serving): pin the weights to this
+        # chip; callers commit the frame batches to the same chip and the
+        # compiled program runs there — one independent pipeline per device.
+        state = jax.device_put(state, device)
     mean, std = model.mean, model.std
     mean_dev = jnp.asarray(mean, jnp.float32).reshape(1, 1, 1, 3) * 255.0
     std_dev = jnp.asarray(std, jnp.float32).reshape(1, 1, 1, 3) * 255.0

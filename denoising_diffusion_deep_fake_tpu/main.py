@@ -268,15 +268,18 @@ def export_ckpt(checkpoint_dir, output_path, step):
 @click.option("--transfer", type=click.Choice(["rgb", "i420"]), default="rgb",
               help="Host<->device wire format; i420 halves transfer bytes "
                    "(clients can independently pick X-Format per request).")
+@click.option("--devices", type=int, default=1,
+              help="Replicate the engine across N local chips; dispatchers "
+                   "share one request queue (throughput scales with chips).")
 def serve(checkpoint_path, model_a_or_b, host, port, width, height,
-          batch_size, max_wait_ms, sampler_steps, use_ema, transfer):
+          batch_size, max_wait_ms, sampler_steps, use_ema, transfer, devices):
     """Long-running face-swap inference server (HTTP, micro-batched)."""
     from denoising_diffusion_deep_fake_tpu.serving.server import run_server
 
     run_server(checkpoint_path, model_a_or_b, host=host, port=port,
                height=height, width=width, batch_size=batch_size,
                use_ema=use_ema, sampler_steps=sampler_steps,
-               max_wait_ms=max_wait_ms, transfer=transfer)
+               max_wait_ms=max_wait_ms, transfer=transfer, devices=devices)
 
 
 if __name__ == "__main__":

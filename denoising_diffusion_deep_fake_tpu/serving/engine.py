@@ -72,7 +72,7 @@ class SwapEngine:
     def __init__(self, checkpoint_path, identity: str, *, height: int,
                  width: int, batch_size: int = 8, use_ema: bool = False,
                  sampler_steps: int = 0, max_wait_ms: float = 5.0,
-                 seed: int = 0, transfer: str = "rgb"):
+                 seed: int = 0, transfer: str = "rgb", devices: int = 1):
         import jax
 
         from denoising_diffusion_deep_fake_tpu.inference import (
@@ -86,6 +86,10 @@ class SwapEngine:
                 validate_i420_dims)
 
             validate_i420_dims(height, width)
+        if not 1 <= devices <= jax.local_device_count():
+            raise ValueError(
+                f"devices={devices} but {jax.local_device_count()} local "
+                "device(s) are available")
         self.height, self.width = height, width
         self.batch_size = batch_size
         self.max_wait_s = max_wait_ms / 1000.0
@@ -98,23 +102,30 @@ class SwapEngine:
         self.transfer = transfer
         self.model = load_swap_model(checkpoint_path, identity,
                                      use_ema=use_ema, image_size=height)
-        self._pipeline = make_device_pipeline(self.model,
-                                              sampler_steps=sampler_steps,
-                                              transfer=transfer)
-        self._key = jax.random.PRNGKey(seed)
         self._queue: queue.Queue = queue.Queue()
         self._stats = EngineStats()
         self._stats_lock = threading.Lock()
         self._closed = False
-        self._batch_idx = 0
-        # One-slot holdover for a request that didn't fit the current device
-        # batch: it becomes the HEAD of the next batch instead of being
-        # re-queued behind newer arrivals (which starves large requests
-        # under sustained load). Touched only by the dispatcher thread.
-        self._pending: _Request | None = None
-        self._dispatcher = threading.Thread(target=self._dispatch_loop,
-                                            daemon=True)
-        self._dispatcher.start()
+        # Replicated serving: one pinned weight copy + compiled pipeline +
+        # dispatcher thread PER device, all pulling from the shared request
+        # queue — throughput scales with chips while callers see one engine.
+        # The single-pass swap is deterministic, so which replica serves a
+        # frame is unobservable; with sampler_steps > 0 the DDIM noise
+        # stream differs per replica (keys fold in the replica index).
+        base_key = jax.random.PRNGKey(seed)
+        self.devices = devices
+        self._dispatchers = []
+        for i in range(devices):
+            dev = jax.local_devices()[i] if devices > 1 else None
+            pipeline = make_device_pipeline(self.model,
+                                            sampler_steps=sampler_steps,
+                                            transfer=transfer, device=dev)
+            key = jax.random.fold_in(base_key, i)
+            if dev is not None:
+                key = jax.device_put(key, dev)
+            self._dispatchers.append(_Dispatcher(self, pipeline, key, dev))
+        for d in self._dispatchers:
+            d.thread.start()
 
     # ------------------------------------------------------------------ API
 
@@ -189,7 +200,8 @@ class SwapEngine:
         # Liveness-checked wait: a request that slipped into the queue while
         # close() was draining would otherwise block its caller forever.
         while not req.event.wait(timeout=1.0):
-            if self._closed and not self._dispatcher.is_alive():
+            if self._closed and not any(d.thread.is_alive()
+                                        for d in self._dispatchers):
                 raise RuntimeError("engine closed")
         if req.error is not None:
             raise req.error
@@ -214,17 +226,20 @@ class SwapEngine:
                 "identity": self.identity,
                 "frame_shape": [self.height, self.width, 3],
                 "transfer": self.transfer,
+                "devices": self.devices,
             }
 
     def close(self) -> None:
         self._closed = True
-        self._queue.put(None)
-        self._dispatcher.join(timeout=5.0)
+        self._queue.put(None)  # _gather re-signals: one sentinel drains all
+        for d in self._dispatchers:
+            d.thread.join(timeout=5.0)
         # Fail any requests that raced past the shutdown sentinel.
-        if self._pending is not None:  # dispatcher joined; safe to read
-            self._pending.error = RuntimeError("engine closed")
-            self._pending.event.set()
-            self._pending = None
+        for d in self._dispatchers:  # dispatchers joined; safe to read
+            if d.pending is not None:
+                d.pending.error = RuntimeError("engine closed")
+                d.pending.event.set()
+                d.pending = None
         while True:
             try:
                 item = self._queue.get_nowait()
@@ -234,40 +249,63 @@ class SwapEngine:
                 item.error = RuntimeError("engine closed")
                 item.event.set()
 
-    # ------------------------------------------------------------- internals
+
+class _Dispatcher:
+    """One replica: a pinned pipeline + its batch-packing thread.
+
+    The holdover slot (``pending``) keeps a request that didn't fit this
+    replica's current batch at the HEAD of its next one instead of re-queuing
+    it behind newer arrivals (which starves large requests under sustained
+    load); it is touched only by this dispatcher's thread (and by
+    ``close()`` after the join).
+    """
+
+    def __init__(self, engine: "SwapEngine", pipeline, key, device):
+        self.engine = engine
+        self.pipeline = pipeline
+        self.key = key
+        self.device = device
+        self.batch_idx = 0
+        self.pending: _Request | None = None
+        self.thread = threading.Thread(target=self._dispatch_loop,
+                                       daemon=True)
 
     def _gather(self) -> list[_Request] | None:
         """Collect requests for one device batch (None = shutdown)."""
-        if self._pending is not None:
-            first, self._pending = self._pending, None
+        eng = self.engine
+        if self.pending is not None:
+            first, self.pending = self.pending, None
         else:
-            first = self._queue.get()
+            first = eng._queue.get()
             if first is None:
+                eng._queue.put(None)  # wake the other replicas' dispatchers
                 return None
         batch = [first]
         filled = first.frames.shape[0]
-        deadline = time.monotonic() + self.max_wait_s
-        while filled < self.batch_size:
+        deadline = time.monotonic() + eng.max_wait_s
+        while filled < eng.batch_size:
             timeout = deadline - time.monotonic()
             if timeout <= 0:
                 break
             try:
-                nxt = self._queue.get(timeout=timeout)
+                nxt = eng._queue.get(timeout=timeout)
             except queue.Empty:
                 break
             if nxt is None:
-                self._queue.put(None)  # re-signal shutdown after this batch
+                eng._queue.put(None)  # re-signal shutdown after this batch
                 break
-            if filled + nxt.frames.shape[0] > self.batch_size:
-                self._pending = nxt    # doesn't fit; heads the next batch
+            if filled + nxt.frames.shape[0] > eng.batch_size:
+                self.pending = nxt     # doesn't fit; heads the next batch
                 break
             batch.append(nxt)
             filled += nxt.frames.shape[0]
         return batch
 
     def _dispatch_loop(self) -> None:
+        import jax
         import jax.numpy as jnp
 
+        eng = self.engine
         while True:
             batch = self._gather()
             if batch is None:
@@ -275,25 +313,28 @@ class SwapEngine:
             try:
                 stacks = [r.frames for r in batch]
                 filled = sum(s.shape[0] for s in stacks)
-                pad = self.batch_size - filled
+                pad = eng.batch_size - filled
                 if pad:
-                    stacks.append(np.zeros((pad,) + self.wire_frame_shape,
+                    stacks.append(np.zeros((pad,) + eng.wire_frame_shape,
                                            np.uint8))
                 device_batch = np.concatenate(stacks, axis=0)
                 t0 = time.perf_counter()
-                fake = self._pipeline(jnp.asarray(device_batch), self._key,
-                                      self._batch_idx)
+                if self.device is not None:
+                    dev_arr = jax.device_put(device_batch, self.device)
+                else:
+                    dev_arr = jnp.asarray(device_batch)
+                fake = self.pipeline(dev_arr, self.key, self.batch_idx)
                 fake_np = np.asarray(fake)  # value fetch = device barrier
                 dt_ms = (time.perf_counter() - t0) * 1000.0
-                self._batch_idx += 1
+                self.batch_idx += 1
                 offset = 0
                 for r in batch:
                     n = r.frames.shape[0]
                     r.result = fake_np[offset:offset + n]
                     offset += n
                     r.event.set()
-                with self._stats_lock:
-                    s = self._stats
+                with eng._stats_lock:
+                    s = eng._stats
                     s.frames += filled
                     s.batches += 1
                     s.padded_slots += pad
@@ -305,5 +346,5 @@ class SwapEngine:
                 for r in batch:
                     r.error = e
                     r.event.set()
-                with self._stats_lock:
-                    self._stats.errors += 1
+                with eng._stats_lock:
+                    eng._stats.errors += 1

@@ -300,7 +300,8 @@ def run_server(checkpoint_path, identity: str, *, host: str = "0.0.0.0",
                port: int = 8000, height: int = 448, width: int = 448,
                batch_size: int = 8, use_ema: bool = False,
                sampler_steps: int = 0, max_wait_ms: float = 5.0,
-               transfer: str = "rgb", verbose: bool = True) -> None:
+               transfer: str = "rgb", devices: int = 1,
+               verbose: bool = True) -> None:
     """CLI entry: load, warm up (compile), then serve until interrupted.
 
     ``identity="both"`` serves a AND b from the one checkpoint (two engines,
@@ -313,7 +314,7 @@ def run_server(checkpoint_path, identity: str, *, host: str = "0.0.0.0",
             checkpoint_path, name, height=height, width=width,
             batch_size=batch_size, use_ema=use_ema,
             sampler_steps=sampler_steps, max_wait_ms=max_wait_ms,
-            transfer=transfer)
+            transfer=transfer, devices=devices)
         if verbose:
             print(f"compiling swap pipeline for '{name}' ({height}x{width}, "
                   f"batch {batch_size}) ...", flush=True)

@@ -328,3 +328,49 @@ def test_healthz_reports_transfer(server_i420):
     assert status == 200
     info = json.loads(data)
     assert info["transfer"] == "i420" and "i420" in info["formats"]
+
+
+def test_engine_multi_device_replicas_match_single(checkpoint, engine):
+    """devices=2: two pinned replicas off one queue; the single-pass swap is
+    deterministic, so outputs must equal the devices=1 engine's."""
+    import jax
+
+    assert jax.local_device_count() >= 2  # conftest: 8 virtual CPU devices
+    multi = SwapEngine(checkpoint, "a", height=SIZE, width=SIZE,
+                       batch_size=4, max_wait_ms=2.0, devices=2)
+    try:
+        multi.warmup()
+        rng = np.random.default_rng(5)
+        frames = [rng.integers(0, 256, (SIZE, SIZE, 3), dtype=np.uint8)
+                  for _ in range(8)]
+        results = [None] * len(frames)
+
+        def call(i):
+            results[i] = multi.swap(frames[i])
+
+        threads = [threading.Thread(target=call, args=(i,))
+                   for i in range(len(frames))]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        stats = multi.stats()
+        # +1: warmup() rode the same queue.
+        assert stats["devices"] == 2 and stats["frames"] == len(frames) + 1
+        for f, r in zip(frames, results):
+            # <= 1 LSB: XLA may fuse the two engines' programs differently
+            # (micro-batch packing differs), and a float landing exactly on
+            # the uint8 trunc threshold can flip by one.
+            diff = np.abs(r.astype(np.int16)
+                          - engine.swap(f).astype(np.int16))
+            assert diff.max() <= 1, diff.max()
+    finally:
+        multi.close()
+
+
+def test_engine_rejects_too_many_devices(checkpoint):
+    import jax
+
+    with pytest.raises(ValueError, match="devices="):
+        SwapEngine(checkpoint, "a", height=SIZE, width=SIZE,
+                   devices=jax.local_device_count() + 1)
