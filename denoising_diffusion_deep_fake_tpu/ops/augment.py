@@ -351,6 +351,16 @@ def augment_batch(key: jax.Array, batch_uint8: jax.Array, mean, std,
     batch crosses HBM as uint8).
     """
     params = sample_affine_params(key, batch_uint8.shape[0], cfg)
+    bh, bw = batch_uint8.shape[1], batch_uint8.shape[2]
+    if (method == "auto" and bh % 32 == 0 and bw % 32 == 0
+            and min(bh, bw) >= 384 and jax.default_backend() == "tpu"
+            and jax.device_count() == 1):
+        # Whole-sample fused kernel: both warp passes + the normalize in one
+        # pallas_call, batch crosses HBM as uint8. Measured 1.22x over the
+        # two-pass kernel and 1.52x over the XLA hybrid at 448²/b16
+        # (tools/warp_breakdown.py, 2026-08-18). Same single-device guard as
+        # the two-pass kernel below (no GSPMD partitioning rule).
+        method = "pallas_fused"
     if method == "pallas_fused":
         from denoising_diffusion_deep_fake_tpu.ops.pallas.warp_fused import (
             affine_warp_pallas_fused)
@@ -361,22 +371,14 @@ def augment_batch(key: jax.Array, batch_uint8: jax.Array, mean, std,
     x = normalise_batch(batch_uint8, mean, std, dtype=jnp.float32)
     h, w = x.shape[1], x.shape[2]
     if method == "auto":
-        # Pallas kernel (VMEM-resident window, no per-tap HBM re-reads) wins
-        # at large resolutions on TPU; hybrid (scale matmul + block roll +
-        # residual MAC) covers the rest of the 32-aligned shapes; shear
-        # covers small non-32-aligned shapes; gather is the fallback.
-        # Single-device only: pallas_call has no GSPMD partitioning rule, so
-        # inside a multi-device-sharded train step it would break (or force a
-        # full-batch all-gather); explicit method="pallas" remains available
+        # Large 32-aligned TPU shapes were routed to the fused kernel above;
+        # hybrid (scale matmul + block roll + residual MAC) covers the rest
+        # of the 32-aligned shapes (at 256² repeated marginal measurements
+        # straddle break-even vs the kernels, so the hybrid keeps that
+        # shape); shear covers small non-32-aligned shapes; gather is the
+        # fallback. Explicit method="pallas"/"pallas_fused" remains available
         # for shard_map users.
-        # >=384: at 448² the kernel is a stable 1.3-1.4x over the XLA
-        # hybrid; at 256² repeated marginal measurements straddle break-even
-        # (0.9-1.5x), so the hybrid keeps that shape.
-        if (h % 32 == 0 and w % 32 == 0 and min(h, w) >= 384
-                and jax.default_backend() == "tpu"
-                and jax.device_count() == 1):
-            method = "pallas"
-        elif h % 32 == 0 and w % 32 == 0:
+        if h % 32 == 0 and w % 32 == 0:
             method = "hybrid"
         elif _shear_tap_bounds(h, w, cfg)[0] <= 64:
             method = "shear"

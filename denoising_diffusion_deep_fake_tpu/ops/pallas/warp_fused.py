@@ -62,6 +62,12 @@ def _fused_warp_kernel(ax_ref, ay_ref, bx_ref, by_ref,   # scalar prefetch
     — the tile is normalized in-kernel BEFORE the warp, so the batch crosses
     HBM as uint8 and the zero border still lands in normalized space (the
     reference's Compose order, see ops/augment.py docstring).
+
+    Both block loops are ``lax.fori_loop``s, NOT Python unrolls: Mosaic
+    allocates scoped-VMEM stack per unrolled instance, and 2x14 inlined
+    band matrices + 84 ``residual_mac`` accumulation chains overflowed the
+    16 MB scoped budget on hardware (67.9 MB requested — first Mosaic
+    lowering, 2026-08-18). A rolled loop keeps one iteration's stack live.
     """
     bi = pl.program_id(0)
     ax = ax_ref[bi]
@@ -71,13 +77,17 @@ def _fused_warp_kernel(ax_ref, ay_ref, bx_ref, by_ref,   # scalar prefetch
 
     # Phase 1 — x-pass, (32-row, W) tiles per channel. The banded matrix is
     # shared by the channels of a block (warp params are per-sample).
-    for j in range(h // ROWS):
+    def x_block(j, carry):
         base = bx_ref[bi, j].astype(jnp.float32)
         s_x = band_matrix(ax, base, w, w_win).astype(jnp.bfloat16)
-        wgt = wx_ref[0, j * ROWS:(j + 1) * ROWS, :]
+        wgt = wx_ref[0, pl.ds(j * ROWS, ROWS), :]
         for ch in range(channels):
-            tile = img_ref[0, ch, j * ROWS:(j + 1) * ROWS, :].astype(
-                jnp.float32)
+            tile = img_ref[0, ch, pl.ds(j * ROWS, ROWS), :]
+            if tile.dtype == jnp.uint8:
+                # Mosaic has no uint8->f32 cast inside a fori_loop body
+                # (scan lowering); hop through int32, exact for 0..255.
+                tile = tile.astype(jnp.int32)
+            tile = tile.astype(jnp.float32)
             if norm is not None:
                 m255, s255 = norm[ch]
                 tile = (tile - m255) / s255   # division: bit-matches
@@ -85,23 +95,39 @@ def _fused_warp_kernel(ax_ref, ay_ref, bx_ref, by_ref,   # scalar prefetch
                 # elementwise-identical to normalize->two-pass-kernel.
             g = jnp.dot(tile.astype(jnp.bfloat16), s_x,
                         preferred_element_type=jnp.float32)
-            t_ref[ch, j * ROWS:(j + 1) * ROWS, :] = residual_mac(
+            t_ref[ch, pl.ds(j * ROWS, ROWS), :] = residual_mac(
                 g, wgt, w).astype(jnp.bfloat16)
+        return carry
+
+    jax.lax.fori_loop(0, h // ROWS, x_block, 0)
 
     # Phase 2 — y-pass over (H, 32-column) tiles of the scratch. Contracting
     # dim 0 of both operands feeds the MXU the transposed tile: the result
-    # rows are the 32 x-positions, lanes the y interpolation window.
-    for m in range(w // ROWS):
+    # rows are the 32 x-positions, lanes the y interpolation window. The
+    # (H, 32) tile is pulled out of scratch with a one-hot selection matmul
+    # (t[ch] @ E_m) rather than a dynamic LANE-dim slice — Mosaic has no
+    # efficient lowering for dynamic lane offsets, and one-hot x bf16 in an
+    # fp32-accumulating dot is EXACT, so the two-pass equality contract
+    # (tests/test_warp_fused.py) is preserved bit-for-bit.
+    def y_block(m, carry):
         base = by_ref[bi, m].astype(jnp.float32)
         s_y = band_matrix(ay, base, h, h_win).astype(jnp.bfloat16)
-        wgt = wy_ref[0, m * ROWS:(m + 1) * ROWS, :]
+        wgt = wy_ref[0, pl.ds(m * ROWS, ROWS), :]
+        col = jax.lax.broadcasted_iota(jnp.int32, (w, ROWS), 0)
+        sel = jax.lax.broadcasted_iota(jnp.int32, (w, ROWS), 1) + m * ROWS
+        e_m = (col == sel).astype(jnp.bfloat16)                # (W, 32)
         for ch in range(channels):
-            tile = t_ref[ch, :, m * ROWS:(m + 1) * ROWS]       # (H, 32)
+            tile = jnp.dot(t_ref[ch], e_m,
+                           preferred_element_type=jnp.float32)  # (H, 32)
             g = jax.lax.dot_general(
-                tile, s_y, dimension_numbers=(((0,), (0,)), ((), ())),
+                tile.astype(jnp.bfloat16), s_y,
+                dimension_numbers=(((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)            # (32, h_win)
-            out_ref[0, ch, m * ROWS:(m + 1) * ROWS, :] = residual_mac(
+            out_ref[0, ch, pl.ds(m * ROWS, ROWS), :] = residual_mac(
                 g, wgt, h)
+        return carry
+
+    jax.lax.fori_loop(0, w // ROWS, y_block, 0)
 
 
 def affine_warp_pallas_fused(images: jax.Array, params: dict, *,
