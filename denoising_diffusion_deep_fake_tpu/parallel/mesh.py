@@ -160,3 +160,8 @@ def device_prefetch(iterator, mesh: Mesh, *, depth: int = 2,
     finally:
         stop.set()
         thread.join(timeout=10.0)
+        if thread.is_alive():
+            # Mid device_put on a slow link: re-join at atexit before
+            # finalization pthread_exits it inside PJRT frames (aborts).
+            from denoising_diffusion_deep_fake_tpu.utils import stragglers
+            stragglers.adopt(thread)

@@ -339,6 +339,13 @@ class LoopContext:
             # worker polls this flag between gets.
             self._stop_event.set()
             self._metric_thread.join(timeout=10.0)
+            if self._metric_thread.is_alive():
+                # Mid panel/scalar fetch on a slow link (tens of MB): give it
+                # one more bounded join at atexit, BEFORE interpreter
+                # finalization would pthread_exit it inside PJRT C++ frames
+                # ("FATAL: exception not rethrown" abort).
+                from denoising_diffusion_deep_fake_tpu.utils import stragglers
+                stragglers.adopt(self._metric_thread)
             self.ckpt.wait_until_finished()
             self.tb.flush()
             self.tb.close()
