@@ -236,8 +236,8 @@ def export_ckpt(checkpoint_dir, output_path, step):
     """Convert a native checkpoint dir into a reference Lightning .ckpt.
 
     The inverse of `import`: hand a model trained here back to a user still
-    running the reference (resnet-family encoders; weights, EMA shadows, BN
-    stats, and hparams carry over)."""
+    running the reference (every supported encoder family; weights, EMA
+    shadows, BN stats, and hparams carry over)."""
     from denoising_diffusion_deep_fake_tpu.utils.torch_export import (
         export_reference_checkpoint)
 

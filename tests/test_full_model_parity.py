@@ -24,26 +24,9 @@ from denoising_diffusion_deep_fake_tpu.models import create_unet
 from denoising_diffusion_deep_fake_tpu.utils.torch_import import (
     convert_smp_unet_state_dict,
 )
-
-
-def _smp_named_state_dict(model) -> dict:
-    """Rename the local replica's keys to smp/torchvision convention."""
-    out = {}
-    for name, value in model.state_dict().items():
-        if name.startswith("encoder.layers."):
-            # encoder.layers.{li}.{bi}.rest -> encoder.layer{li+1}.{bi}.rest
-            parts = name.split(".")
-            li, bi, rest = int(parts[2]), parts[3], ".".join(parts[4:])
-            rest = rest.replace("down.", "downsample.")
-            name = f"encoder.layer{li + 1}.{bi}.{rest}"
-        elif name.startswith("blocks.") or name.startswith("center."):
-            name = "decoder." + name
-        elif name.startswith("head."):
-            name = name.replace("head.", "segmentation_head.0.")
-        else:
-            name = name.replace(".down.", ".downsample.")
-        out[name] = value.detach().numpy()
-    return out
+from denoising_diffusion_deep_fake_tpu.utils.torch_replica import (
+    smp_named_state_dict,
+)
 
 
 def psnr(a: np.ndarray, b: np.ndarray, peak: float) -> float:
@@ -65,7 +48,7 @@ def models(request):
         # Deterministic train-mode forward for the parity comparison (the
         # flax side is deterministic too when no dropout rng is passed).
         tmodel.encoder.drop_connect_rate = 0.0
-    sd = _smp_named_state_dict(tmodel)
+    sd = smp_named_state_dict(tmodel)
     params, stats = convert_smp_unet_state_dict(sd)
     fmodel = create_unet(request.param)
     return tmodel, fmodel, {"params": params, "batch_stats": stats}
