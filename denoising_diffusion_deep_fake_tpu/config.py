@@ -102,6 +102,14 @@ class BaseConfig:
     #   shapes), pallas (VMEM two-pass kernel), pallas_fused (whole-sample
     #   one-kernel warp incl. in-kernel uint8 normalize).
     warp_method: str = "auto"
+    # MXU input precision for matmuls/convs (jax.default_matmul_precision):
+    #   auto (default): "highest" when compute_dtype is float32 — the TPU
+    #   backend otherwise rounds fp32 conv inputs to one-pass bf16, which
+    #   breaks fp32-parity semantics and measurably DIVERGES this workload's
+    #   training (BASELINE.md round-3 "TPU precision"); backend default when
+    #   compute_dtype is bfloat16 (the fast path — loss math is always fp32,
+    #   see ops/losses.py). Explicit values: default | high | highest.
+    matmul_precision: str = "auto"
 
     def validate(self) -> None:
         if self.batch_size <= 0:
@@ -163,6 +171,19 @@ class BaseConfig:
             raise ValueError(
                 f"warp_method={self.warp_method!r} is single-device; "
                 "use 'auto' (which guards) or an XLA method when sharding")
+        if self.matmul_precision not in ("auto", "default", "high",
+                                         "highest"):
+            raise ValueError(
+                f"unknown matmul_precision {self.matmul_precision!r}")
+
+    def resolved_matmul_precision(self) -> str | None:
+        """The jax.default_matmul_precision value to trace under, or None
+        for the backend default (see the ``matmul_precision`` field note)."""
+        if self.matmul_precision == "auto":
+            return "highest" if self.compute_dtype == "float32" else None
+        if self.matmul_precision == "default":
+            return None
+        return self.matmul_precision
 
     @property
     def cosine_t_max(self) -> int:

@@ -170,7 +170,19 @@ def make_device_pipeline(model: SwapModel, *, sampler_steps: int = 0,
             return rgb_to_i420(fake255)
         return fake255.astype(jnp.uint8)
 
-    return device_pipeline
+    prec = model.cfg.resolved_matmul_precision()
+    if prec is None:
+        return device_pipeline
+
+    # fp32 checkpoints promise reference-parity math: trace under the
+    # config's resolved precision so the TPU backend's one-pass-bf16 conv
+    # default can't round the forward (config.matmul_precision note). The
+    # context must be live at TRACE time, i.e. around the first call.
+    def precise_pipeline(frames_u8, key, batch_idx):
+        with jax.default_matmul_precision(prec):
+            return device_pipeline(frames_u8, key, batch_idx)
+
+    return precise_pipeline
 
 
 def prepare_frame(frame_bgr: np.ndarray, width: int, height: int) -> np.ndarray:

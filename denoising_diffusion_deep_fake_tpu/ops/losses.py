@@ -16,8 +16,12 @@ from denoising_diffusion_deep_fake_tpu.ops.ssim import ssim
 
 
 def mse_loss(prediction: jax.Array, target: jax.Array) -> jax.Array:
-    """Mean-squared error over all elements (torch ``nn.MSELoss`` semantics)."""
-    d = prediction - target
+    """Mean-squared error over all elements (torch ``nn.MSELoss`` semantics).
+
+    Accumulated in fp32 whatever the network dtype: a bf16 mean over ~1e5+
+    elements quantizes away the small per-pixel residuals that drive late
+    training (the reference's torch loss is fp32 as well)."""
+    d = prediction.astype(jnp.float32) - target.astype(jnp.float32)
     return jnp.mean(d * d)
 
 
@@ -34,6 +38,8 @@ def mse_ssim_loss(prediction: jax.Array, target: jax.Array, *,
     (`structural_similarity_loss.py:14-21`).
     """
     mse = mse_loss(prediction, target)
+    prediction = prediction.astype(jnp.float32)
+    target = target.astype(jnp.float32)
     p = _normalise_between_zero_and_one(prediction, input_min, input_max)
     t = _normalise_between_zero_and_one(target, input_min, input_max)
     ssim_loss = 1.0 - ssim(p, t, value_range=1.0)
@@ -45,5 +51,8 @@ def l1_difficulty_loss(prediction: jax.Array, target: jax.Array) -> jax.Array:
 
     Parity with the balancer's `compute_difficulty_loss`
     (`/root/reference/d3f/balance_training_images/lit_module.py:137-140`).
+    fp32 accumulation for the same reason as ``mse_loss`` (scores feed a
+    min-max normalize + binning — bf16 ties would merge difficulty bins).
     """
-    return jnp.mean(jnp.abs(prediction - target), axis=(1, 2, 3))
+    return jnp.mean(jnp.abs(prediction.astype(jnp.float32)
+                            - target.astype(jnp.float32)), axis=(1, 2, 3))

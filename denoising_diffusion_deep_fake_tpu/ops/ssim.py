@@ -55,6 +55,12 @@ def _depthwise_blur_1d(x: jax.Array, kernel: jax.Array, axis: int) -> jax.Array:
         padding="VALID",
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         feature_group_count=c,
+        # Exact-precision blur regardless of the backend's matmul default:
+        # sigma = E[x^2] - mu^2 cancels catastrophically if the filtered
+        # maps carry bf16 rounding (TPU MXU one-pass default) — measured to
+        # DIVERGE training (BASELINE.md round-3 "TPU precision"). The blur
+        # is tiny depthwise VPU work; HIGHEST costs nothing measurable.
+        precision=lax.Precision.HIGHEST,
     )
 
 
@@ -72,7 +78,16 @@ def ssim(x: jax.Array, y: jax.Array, *, value_range: float = 1.0,
     """
     if x.shape != y.shape:
         raise ValueError(f"shape mismatch: {x.shape} vs {y.shape}")
-    kernel = gaussian_kernel(window_size, sigma, dtype=x.dtype)
+    # SSIM is computed in fp32 whatever the network dtype: the variance
+    # terms below are small differences of O(1) filtered maps, and bf16's
+    # 8-bit mantissa turns them into pure noise (gradients included —
+    # training under a bf16 SSIM measurably diverges; piqa computes in
+    # fp32 too, so this is also the parity-correct choice). The upcast is
+    # a few elementwise ops on the loss inputs — negligible next to the
+    # U-Net convs that stay in bf16.
+    x = x.astype(jnp.float32)
+    y = y.astype(jnp.float32)
+    kernel = gaussian_kernel(window_size, sigma, dtype=jnp.float32)
 
     c1 = (k1 * value_range) ** 2
     c2 = (k2 * value_range) ** 2

@@ -16,6 +16,7 @@ XLA inserts the gradient all-reduces.
 from __future__ import annotations
 
 import contextlib
+import functools
 
 import jax
 import numpy as np
@@ -126,6 +127,25 @@ def _cached_batches(caches, spe: int, epoch: int):
     return (args for _ in range(spe))
 
 
+def _with_matmul_precision(fit_fn):
+    """Trace/compile the whole fit under the config's resolved matmul
+    precision (`config.resolved_matmul_precision`). Must wrap the FULL body:
+    jit tracing is deferred to the first step inside the loop, and
+    ``jax.default_matmul_precision`` only binds at trace time. In 'auto'
+    this forces true-fp32 convs for ``compute_dtype: float32`` (the TPU
+    backend's one-pass-bf16 default measurably diverges training —
+    BASELINE.md round-3 "TPU precision") and leaves bf16 runs on the fast
+    default."""
+    @functools.wraps(fit_fn)
+    def wrapper(cfg, *args, **kwargs):
+        prec = cfg.resolved_matmul_precision()
+        if prec is None:
+            return fit_fn(cfg, *args, **kwargs)
+        with jax.default_matmul_precision(prec):
+            return fit_fn(cfg, *args, **kwargs)
+    return wrapper
+
+
 @contextlib.contextmanager
 def _abort_on_error(ctx: LoopContext):
     """Tear the loop services down on ANY exception escaping the train loop
@@ -142,6 +162,7 @@ def _abort_on_error(ctx: LoopContext):
 # ------------------------------------------------------------------ deep fake
 
 
+@_with_matmul_precision
 def fit_deep_fake(cfg: DeepFakeConfig, *, resume_from: str | None = None,
                   modify_from: str | None = None, max_steps: int | None = None,
                   verbose: bool = True, step_callback=None):
@@ -239,6 +260,7 @@ def fit_deep_fake(cfg: DeepFakeConfig, *, resume_from: str | None = None,
 # ------------------------------------------------------------------- denoiser
 
 
+@_with_matmul_precision
 def fit_denoiser(cfg: DenoiserConfig, *, max_steps: int | None = None,
                  verbose: bool = True, step_callback=None):
     maybe_initialize_from_env()
@@ -302,6 +324,7 @@ def fit_denoiser(cfg: DenoiserConfig, *, max_steps: int | None = None,
 # -------------------------------------------------------------------- balance
 
 
+@_with_matmul_precision
 def fit_balance(cfg: BalanceConfig, *, max_steps: int | None = None,
                 verbose: bool = True, step_callback=None):
     """Train at fixed noise, score difficulties, log histogram, write manifest."""

@@ -87,3 +87,32 @@ def test_round_trip_dict():
     d = config_to_dict(cfg)
     cfg2 = config_from_dict(BalanceConfig, d)
     assert cfg == cfg2
+
+
+def test_matmul_precision_knob():
+    """auto resolves per compute_dtype; explicit values pass through;
+    unknown values rejected (round-3 TPU-precision finding)."""
+    import pytest
+
+    from denoising_diffusion_deep_fake_tpu.config import (
+        DenoiserConfig, config_from_dict)
+
+    base = dict(input_image_list_path="x", log_dir="/tmp/r",
+                checkpoint_dir="/tmp/c")
+    bf16 = config_from_dict(DenoiserConfig, base, validate=False)
+    assert bf16.resolved_matmul_precision() is None
+    fp32 = config_from_dict(DenoiserConfig,
+                            dict(base, compute_dtype="float32"),
+                            validate=False)
+    assert fp32.resolved_matmul_precision() == "highest"
+    expl = config_from_dict(DenoiserConfig,
+                            dict(base, matmul_precision="high"),
+                            validate=False)
+    assert expl.resolved_matmul_precision() == "high"
+    off = config_from_dict(DenoiserConfig,
+                           dict(base, compute_dtype="float32",
+                                matmul_precision="default"), validate=False)
+    assert off.resolved_matmul_precision() is None
+    with pytest.raises(ValueError, match="matmul_precision"):
+        config_from_dict(DenoiserConfig,
+                         dict(base, matmul_precision="bf16")).validate()

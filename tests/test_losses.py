@@ -49,3 +49,26 @@ def test_l1_difficulty_loss_per_image(rng):
     want = np.abs(p - t).mean(axis=(1, 2, 3))
     assert got.shape == (4,)
     np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+def test_loss_math_is_fp32_for_bf16_networks(rng):
+    """Round-3 TPU finding: a bf16 SSIM diverges training — its variance
+    terms (E[x^2] - mu^2) cancel below bf16's 8-bit mantissa and the
+    gradients turn to noise (BASELINE.md "TPU precision"). The loss path
+    must therefore upcast whatever dtype the network computes in."""
+    import jax.numpy as jnp
+
+    from denoising_diffusion_deep_fake_tpu.ops.ssim import ssim
+
+    p32 = jnp.asarray(rng.random((2, 32, 32, 3), np.float32) * 2 - 1)
+    t32 = jnp.asarray(rng.random((2, 32, 32, 3), np.float32) * 2 - 1)
+    p16, t16 = p32.astype(jnp.bfloat16), t32.astype(jnp.bfloat16)
+
+    for fn in (mse_loss, mse_ssim_loss):
+        out16 = fn(p16, t16)
+        assert out16.dtype == jnp.float32
+        # Only input quantization separates the two, not compute precision.
+        np.testing.assert_allclose(float(fn(p32, t32)), float(out16),
+                                   rtol=0.05)
+    s16 = ssim((p16 + 1) / 2, (t16 + 1) / 2)
+    assert s16.dtype == jnp.float32
