@@ -93,8 +93,13 @@ def _fused_warp_kernel(ax_ref, ay_ref, bx_ref, by_ref,   # scalar prefetch
                 tile = (tile - m255) / s255   # division: bit-matches
                 # ops.augment.normalise_batch so the fused path stays
                 # elementwise-identical to normalize->two-pass-kernel.
+            # precision pinned on all three dots: the global
+            # jax_default_matmul_precision=highest (fp32 parity mode) has
+            # no Mosaic lowering for bf16 operands ("Bad lhs type"); these
+            # types are the kernel's explicit design, not the knob's call.
             g = jnp.dot(tile.astype(jnp.bfloat16), s_x,
-                        preferred_element_type=jnp.float32)
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.DEFAULT)
             t_ref[ch, pl.ds(j * ROWS, ROWS), :] = residual_mac(
                 g, wgt, w).astype(jnp.bfloat16)
         return carry
@@ -118,11 +123,13 @@ def _fused_warp_kernel(ax_ref, ay_ref, bx_ref, by_ref,   # scalar prefetch
         e_m = (col == sel).astype(jnp.bfloat16)                # (W, 32)
         for ch in range(channels):
             tile = jnp.dot(t_ref[ch], e_m,
-                           preferred_element_type=jnp.float32)  # (H, 32)
+                           preferred_element_type=jnp.float32,
+                           precision=jax.lax.Precision.DEFAULT)  # (H, 32)
             g = jax.lax.dot_general(
                 tile.astype(jnp.bfloat16), s_y,
                 dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)            # (32, h_win)
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.DEFAULT)           # (32, h_win)
             out_ref[0, ch, pl.ds(m * ROWS, ROWS), :] = residual_mac(
                 g, wgt, h)
         return carry

@@ -111,8 +111,13 @@ def _warp_pass_kernel(alpha_ref, base_ref, wgt_ref, img_ref, out_ref, *,
     # (ROWS*C, W) reshape would be a full VMEM relayout (~2.7 ms/pass
     # measured, the single largest cost of the first kernel iteration).
     tile = img_ref[0]
+    # precision pinned: under jax_default_matmul_precision=highest (the
+    # fp32 parity mode, config.py matmul_precision) Mosaic rejects a bf16
+    # dot with HIGHEST ("Bad lhs type") — this dot's types are an explicit
+    # kernel design choice, not subject to the global knob.
     g_win = jnp.dot(tile.astype(jnp.bfloat16), s_mat.astype(jnp.bfloat16),
-                    preferred_element_type=jnp.float32)
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.DEFAULT)
 
     # Residual 25-tap blend, per-(row,channel) weights; reads hit VMEM.
     out_ref[0] = residual_mac(g_win, wgt_ref[0], w)

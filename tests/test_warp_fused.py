@@ -149,3 +149,27 @@ def test_warp_method_validation():
         config_from_dict(DenoiserConfig,
                          dict(base, warp_method="pallas",
                               data_parallel=4)).validate()
+
+
+def test_kernels_ignore_global_matmul_precision(image):
+    """The kernels' bf16 dots are pinned to Precision.DEFAULT: under the
+    fp32 parity mode (`matmul_precision: auto` -> global HIGHEST,
+    config.py) Mosaic has no lowering for a bf16 dot with HIGHEST ("Bad
+    lhs type" — hit by tools/quality_convergence.py at 448^2, 2026-08-18).
+    Pinning makes the kernels precision-config-invariant; this asserts the
+    output is bit-identical under both global settings (interpret mode;
+    the hardware compile was verified on-chip the same day)."""
+    params = _params(angle=7.0, scale=1.05, tx=0.02, ty=-0.03)
+    out_default = affine_warp_pallas_fused(image, params, interpret=True)
+    two_default = affine_warp_pallas(image, params, interpret=True)
+    prev = jax.config.jax_default_matmul_precision
+    jax.config.update("jax_default_matmul_precision", "highest")
+    try:
+        out_high = affine_warp_pallas_fused(image, params, interpret=True)
+        two_high = affine_warp_pallas(image, params, interpret=True)
+    finally:
+        jax.config.update("jax_default_matmul_precision", prev)
+    np.testing.assert_array_equal(np.asarray(out_default),
+                                  np.asarray(out_high))
+    np.testing.assert_array_equal(np.asarray(two_default),
+                                  np.asarray(two_high))

@@ -16,7 +16,8 @@ slit eyes), randomly placed — enough shared structure that the denoisers
 must learn shape + color statistics, so the EMA cross-feed produces real
 identity mapping rather than color-shift alone.
 
-Usage:  python tools/quality_convergence.py [denoise_steps swap_steps size]
+Usage:  python tools/quality_convergence.py [denoise_steps swap_steps size
+        batch]
 Defaults 1500/2500/64; runs on whatever jax.devices() offers (TPU when the
 tunnel is up — CPU works for a miniature smoke at ~50/50 steps).
 Prints one JSON line; writes artifacts under artifacts/quality/.
@@ -162,6 +163,9 @@ def main():
     denoise_steps = int(sys.argv[1]) if len(sys.argv) > 1 else 1500
     swap_steps = int(sys.argv[2]) if len(sys.argv) > 2 else 2500
     size = int(sys.argv[3]) if len(sys.argv) > 3 else SIZE_DEFAULT
+    # Train batch override: the fp32 default of 32 exceeds HBM at the
+    # reference's 448^2 operating point; pass e.g. 8 there.
+    batch = int(sys.argv[4]) if len(sys.argv) > 4 else 32
 
     import jax
 
@@ -183,7 +187,7 @@ def main():
 
     base = dict(
         mode="denoise", data_path_a=str(m_a), data_path_b=str(m_b),
-        batch_size=32, learning_rate=1e-3, max_epochs=100_000,
+        batch_size=batch, learning_rate=1e-3, max_epochs=100_000,
         encoder_name="resnet34", compute_dtype="float32", image_size=size,
         noise_exponential_sampling_lambda=3.0, ema_update_after_step=0,
         log_dir=str(tmp / "runs"), checkpoint_dir=str(tmp / "ckpt"),
@@ -281,6 +285,7 @@ def main():
         "tint_dist_fake_to_B": round(d_fake_b, 2),
         "steps": [denoise_steps, swap_steps],
         "size": size,
+        "batch": batch,
         "train_seconds": round(train_s, 1),
         "video_artifact": str(out_video),
         "platform": jax.devices()[0].platform,
