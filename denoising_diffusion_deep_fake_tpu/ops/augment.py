@@ -338,6 +338,34 @@ def normalise_batch(batch_uint8: jax.Array, mean, std,
     return ((batch_uint8.astype(jnp.float32) - mean) / std).astype(dtype)
 
 
+def select_warp_method(h: int, w: int, cfg: AffineAugmentConfig, *,
+                       backend: str, n_devices: int) -> str:
+    """Resolve ``method="auto"`` for an HxW batch on the given backend.
+
+    Routing table (measured, tools/warp_breakdown.py + BASELINE.md):
+
+    * single-TPU, 32-aligned, 384² <= size <= 512²: ``pallas_fused`` — whole
+      sample VMEM-resident, both passes + normalize in one kernel (1.22x over
+      the two-pass kernel at 448²). Above 512² the fused kernel's whole-sample
+      VMEM residency (image block + bf16 scratch + fp32 output,
+      double-buffered) overflows scoped VMEM, so the row-tiled two-pass
+      ``pallas`` kernel (O(1) VMEM in image height) takes over.
+    * other 32-aligned shapes: ``hybrid`` (scale matmul + block roll +
+      residual MAC) — at 256² repeated marginals straddle break-even vs the
+      kernels, so the XLA hybrid keeps that shape and stays shardable.
+    * small non-32-aligned: ``shear`` when the static tap window is <= 64;
+      ``gather`` as the universal fallback.
+    """
+    if (h % 32 == 0 and w % 32 == 0 and min(h, w) >= 384
+            and backend == "tpu" and n_devices == 1):
+        return "pallas_fused" if max(h, w) <= 512 else "pallas"
+    if h % 32 == 0 and w % 32 == 0:
+        return "hybrid"
+    if _shear_tap_bounds(h, w, cfg)[0] <= 64:
+        return "shear"
+    return "gather"
+
+
 def augment_batch(key: jax.Array, batch_uint8: jax.Array, mean, std,
                   cfg: AffineAugmentConfig, dtype=jnp.float32,
                   method: str = "auto") -> jax.Array:
@@ -352,15 +380,10 @@ def augment_batch(key: jax.Array, batch_uint8: jax.Array, mean, std,
     """
     params = sample_affine_params(key, batch_uint8.shape[0], cfg)
     bh, bw = batch_uint8.shape[1], batch_uint8.shape[2]
-    if (method == "auto" and bh % 32 == 0 and bw % 32 == 0
-            and min(bh, bw) >= 384 and jax.default_backend() == "tpu"
-            and jax.device_count() == 1):
-        # Whole-sample fused kernel: both warp passes + the normalize in one
-        # pallas_call, batch crosses HBM as uint8. Measured 1.22x over the
-        # two-pass kernel and 1.52x over the XLA hybrid at 448²/b16
-        # (tools/warp_breakdown.py, 2026-08-18). Same single-device guard as
-        # the two-pass kernel below (no GSPMD partitioning rule).
-        method = "pallas_fused"
+    if method == "auto":
+        method = select_warp_method(
+            bh, bw, cfg, backend=jax.default_backend(),
+            n_devices=jax.device_count())
     if method == "pallas_fused":
         from denoising_diffusion_deep_fake_tpu.ops.pallas.warp_fused import (
             affine_warp_pallas_fused)
@@ -370,20 +393,6 @@ def augment_batch(key: jax.Array, batch_uint8: jax.Array, mean, std,
             interpret=jax.default_backend() != "tpu").astype(dtype)
     x = normalise_batch(batch_uint8, mean, std, dtype=jnp.float32)
     h, w = x.shape[1], x.shape[2]
-    if method == "auto":
-        # Large 32-aligned TPU shapes were routed to the fused kernel above;
-        # hybrid (scale matmul + block roll + residual MAC) covers the rest
-        # of the 32-aligned shapes (at 256² repeated marginal measurements
-        # straddle break-even vs the kernels, so the hybrid keeps that
-        # shape); shear covers small non-32-aligned shapes; gather is the
-        # fallback. Explicit method="pallas"/"pallas_fused" remains available
-        # for shard_map users.
-        if h % 32 == 0 and w % 32 == 0:
-            method = "hybrid"
-        elif _shear_tap_bounds(h, w, cfg)[0] <= 64:
-            method = "shear"
-        else:
-            method = "gather"
     if method == "shear":
         taps = _shear_tap_bounds(h, w, cfg)
         return affine_warp_shear(x, params, taps).astype(dtype)

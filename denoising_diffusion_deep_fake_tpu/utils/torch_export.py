@@ -179,6 +179,14 @@ def _inversion_plan(encoder_name: str):
                 sel = np.flatnonzero(key_idx == ki)
                 loc = local[sel]
                 key = float_keys[int(ki)]
+                # A fancy read of still-False entries cannot catch duplicates
+                # *within* one leaf's loc array — check per-entry uniqueness
+                # first so a broadcasting importer fails loudly instead of
+                # silently writing last-wins.
+                if len(np.unique(loc)) != len(loc):
+                    raise ValueError(
+                        f"duplicate indices within flax leaf "
+                        f"{'.'.join(path)} mapping into torch key {key}")
                 if seen[key][loc].any():
                     raise ValueError(
                         f"duplicate mapping into torch key {key} from flax "

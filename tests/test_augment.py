@@ -102,3 +102,31 @@ def test_augment_batch_jits(rng):
     assert out.shape == (4, 16, 16, 3)
     assert out.dtype == jnp.float32
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_select_warp_method_routing_table():
+    """The auto route (ADVICE r3 #1): fused kernel only within its VMEM
+    envelope (32-aligned, 384..512 on single TPU); larger 32-aligned TPU
+    shapes fall back to the row-tiled two-pass kernel, which is O(1) VMEM
+    in image extent; everything else keeps the r3 routing."""
+    from denoising_diffusion_deep_fake_tpu.ops.augment import select_warp_method
+
+    cfg = AffineAugmentConfig.shift_scale_rotate()
+    tpu1 = dict(backend="tpu", n_devices=1)
+    assert select_warp_method(448, 448, cfg, **tpu1) == "pallas_fused"
+    assert select_warp_method(384, 512, cfg, **tpu1) == "pallas_fused"
+    # Above the whole-sample VMEM envelope: row-tiled kernel, NOT fused.
+    assert select_warp_method(640, 640, cfg, **tpu1) == "pallas"
+    assert select_warp_method(1024, 1024, cfg, **tpu1) == "pallas"
+    assert select_warp_method(448, 544, cfg, **tpu1) == "pallas"
+    # Multi-device or non-TPU: no Pallas (no GSPMD partitioning rule).
+    assert select_warp_method(448, 448, cfg, backend="tpu",
+                              n_devices=8) == "hybrid"
+    assert select_warp_method(448, 448, cfg, backend="cpu",
+                              n_devices=1) == "hybrid"
+    # Small 32-aligned shapes keep the XLA hybrid.
+    assert select_warp_method(256, 256, cfg, **tpu1) == "hybrid"
+    assert select_warp_method(64, 64, cfg, **tpu1) == "hybrid"
+    # Non-32-aligned: shear while the static tap window is small.
+    assert select_warp_method(60, 60, cfg, **tpu1) == "shear"
+    assert select_warp_method(500, 500, cfg, **tpu1) == "gather"
