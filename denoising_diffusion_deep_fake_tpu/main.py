@@ -271,15 +271,20 @@ def export_ckpt(checkpoint_dir, output_path, step):
 @click.option("--devices", type=int, default=1,
               help="Replicate the engine across N local chips; dispatchers "
                    "share one request queue (throughput scales with chips).")
+@click.option("--max_queue_frames", type=int, default=None,
+              help="Admission watermark: queued frames beyond this shed with "
+                   "503 + Retry-After (default 8 batches per replica).")
 def serve(checkpoint_path, model_a_or_b, host, port, width, height,
-          batch_size, max_wait_ms, sampler_steps, use_ema, transfer, devices):
+          batch_size, max_wait_ms, sampler_steps, use_ema, transfer, devices,
+          max_queue_frames):
     """Long-running face-swap inference server (HTTP, micro-batched)."""
     from denoising_diffusion_deep_fake_tpu.serving.server import run_server
 
     run_server(checkpoint_path, model_a_or_b, host=host, port=port,
                height=height, width=width, batch_size=batch_size,
                use_ema=use_ema, sampler_steps=sampler_steps,
-               max_wait_ms=max_wait_ms, transfer=transfer, devices=devices)
+               max_wait_ms=max_wait_ms, transfer=transfer, devices=devices,
+               max_queue_frames=max_queue_frames)
 
 
 if __name__ == "__main__":

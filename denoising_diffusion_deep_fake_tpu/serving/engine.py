@@ -27,6 +27,19 @@ import time
 import numpy as np
 
 
+class EngineOverloadedError(RuntimeError):
+    """Request shed: admitting it would push the queue past its watermark.
+
+    ``retry_after_s`` estimates when the backlog will have drained (from the
+    rolling device-batch throughput) — HTTP front-ends surface it as a
+    ``Retry-After`` header on the 503.
+    """
+
+    def __init__(self, message: str, retry_after_s: float):
+        super().__init__(message)
+        self.retry_after_s = retry_after_s
+
+
 @dataclasses.dataclass
 class EngineStats:
     """Cumulative serving counters (read via ``SwapEngine.stats()``)."""
@@ -37,6 +50,8 @@ class EngineStats:
     padded_slots: int = 0          # device-batch slots wasted on padding
     total_device_ms: float = 0.0   # dispatch->fetch wall time, device batches
     errors: int = 0
+    shed_requests: int = 0         # calls rejected by admission control
+    queue_high_water: int = 0      # max queued frames ever observed
     # Rolling window of recent device-batch times for percentile reporting.
     recent_batch_ms: list = dataclasses.field(default_factory=list)
     RECENT_CAP = 512
@@ -72,7 +87,8 @@ class SwapEngine:
     def __init__(self, checkpoint_path, identity: str, *, height: int,
                  width: int, batch_size: int = 8, use_ema: bool = False,
                  sampler_steps: int = 0, max_wait_ms: float = 5.0,
-                 seed: int = 0, transfer: str = "rgb", devices: int = 1):
+                 seed: int = 0, transfer: str = "rgb", devices: int = 1,
+                 max_queue_frames: int | None = None):
         import jax
 
         from denoising_diffusion_deep_fake_tpu.inference import (
@@ -106,6 +122,23 @@ class SwapEngine:
         self._stats = EngineStats()
         self._stats_lock = threading.Lock()
         self._closed = False
+        # Admission control: ``swap_wire`` rejects (EngineOverloadedError)
+        # when admitting a call would push the number of QUEUED frames past
+        # this watermark, so a client burst beyond device throughput degrades
+        # into clean 503-style shedding with bounded queueing delay instead of
+        # unbounded queue growth + unbounded latency for every caller. The
+        # default (8 device batches per replica) bounds queueing delay to
+        # ~8x the device batch time. Must be >= the largest frame stack a
+        # single call may carry, or that call can never be admitted.
+        if max_queue_frames is None:
+            max_queue_frames = 8 * batch_size * devices
+        if max_queue_frames < batch_size:
+            raise ValueError(
+                f"max_queue_frames={max_queue_frames} is below "
+                f"batch_size={batch_size} — single full batches could "
+                "never be admitted")
+        self.max_queue_frames = max_queue_frames
+        self._queued_frames = 0  # guarded by _stats_lock
         # Replicated serving: one pinned weight copy + compiled pipeline +
         # dispatcher thread PER device, all pulling from the shared request
         # queue — throughput scales with chips while callers see one engine.
@@ -180,6 +213,22 @@ class SwapEngine:
                 f"got {frames.shape}")
         if frames.dtype != np.uint8:
             raise ValueError(f"expected uint8 frames, got {frames.dtype}")
+        # Admission control (all-or-nothing over the whole call: partial
+        # enqueues would return partial stacks). Raising BEFORE any slice is
+        # queued keeps shedding O(1) — no device work, no queue churn.
+        total = frames.shape[0]
+        with self._stats_lock:
+            if self._queued_frames + total > self.max_queue_frames:
+                self._stats.shed_requests += 1
+                depth = self._queued_frames
+                retry = self._estimate_drain_s_locked(depth + total)
+                raise EngineOverloadedError(
+                    f"engine overloaded: {depth} frames queued "
+                    f"(watermark {self.max_queue_frames}), retry in "
+                    f"~{retry:.1f}s", retry)
+            self._queued_frames += total
+            self._stats.queue_high_water = max(
+                self._stats.queue_high_water, self._queued_frames)
         # Oversize stacks: enqueue EVERY slice before waiting on any, so
         # slice k+1's upload overlaps slice k's compute/download instead of
         # running strictly sequential round-trips.
@@ -195,6 +244,24 @@ class SwapEngine:
         req = _Request(np.ascontiguousarray(frames))
         self._queue.put(req)
         return req
+
+    def _note_dequeued(self, n_frames: int) -> None:
+        """Dispatcher took ``n_frames`` out of the queue (into a batch)."""
+        with self._stats_lock:
+            self._queued_frames -= n_frames
+
+    def _estimate_drain_s_locked(self, backlog_frames: int) -> float:
+        """Seconds until ``backlog_frames`` drain, from rolling throughput.
+
+        Caller holds ``_stats_lock``. Before any batch has completed (cold
+        start) a flat 1 s is returned.
+        """
+        s = self._stats
+        if not s.batches or not s.total_device_ms:
+            return 1.0
+        frames_per_s = (self.batch_size * self.devices
+                        / (s.total_device_ms / s.batches / 1000.0))
+        return max(0.1, backlog_frames / frames_per_s)
 
     def _wait(self, req: _Request) -> np.ndarray:
         # Liveness-checked wait: a request that slipped into the queue while
@@ -222,6 +289,10 @@ class SwapEngine:
                 "p99_device_batch_ms": round(float(np.percentile(
                     s.recent_batch_ms, 99)), 3) if s.recent_batch_ms else 0.0,
                 "errors": s.errors,
+                "queue_depth": self._queued_frames,
+                "queue_high_water": s.queue_high_water,
+                "shed_requests": s.shed_requests,
+                "max_queue_frames": self.max_queue_frames,
                 "batch_size": self.batch_size,
                 "identity": self.identity,
                 "frame_shape": [self.height, self.width, 3],
@@ -280,6 +351,7 @@ class _Dispatcher:
             if first is None:
                 eng._queue.put(None)  # wake the other replicas' dispatchers
                 return None
+            eng._note_dequeued(first.frames.shape[0])
         batch = [first]
         filled = first.frames.shape[0]
         deadline = time.monotonic() + eng.max_wait_s
@@ -294,6 +366,7 @@ class _Dispatcher:
             if nxt is None:
                 eng._queue.put(None)  # re-signal shutdown after this batch
                 break
+            eng._note_dequeued(nxt.frames.shape[0])
             if filled + nxt.frames.shape[0] > eng.batch_size:
                 self.pending = nxt     # doesn't fit; heads the next batch
                 break

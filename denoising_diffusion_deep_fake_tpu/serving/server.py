@@ -41,7 +41,10 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 import numpy as np
 
-from denoising_diffusion_deep_fake_tpu.serving.engine import SwapEngine
+from denoising_diffusion_deep_fake_tpu.serving.engine import (
+    EngineOverloadedError,
+    SwapEngine,
+)
 
 
 def _supported_formats(engine: SwapEngine) -> list[str]:
@@ -158,6 +161,18 @@ def _make_handler(engines: dict[str, SwapEngine]):
                     self._reply_json(404, {"error": f"unknown path {path}"})
             except ValueError as e:
                 self._reply_json(400, {"error": str(e)})
+            except EngineOverloadedError as e:
+                # Load shed: bounded queueing delay for admitted requests,
+                # an honest signal (with a drain estimate) for the rest.
+                self._drain_body()
+                body = json.dumps({"error": str(e)}).encode()
+                self.send_response(503)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Retry-After",
+                                 str(max(1, round(e.retry_after_s))))
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
             except Exception as e:  # surface engine errors as 500s
                 self._reply_json(500, {"error": f"{type(e).__name__}: {e}"})
 
@@ -301,6 +316,7 @@ def run_server(checkpoint_path, identity: str, *, host: str = "0.0.0.0",
                batch_size: int = 8, use_ema: bool = False,
                sampler_steps: int = 0, max_wait_ms: float = 5.0,
                transfer: str = "rgb", devices: int = 1,
+               max_queue_frames: int | None = None,
                verbose: bool = True) -> None:
     """CLI entry: load, warm up (compile), then serve until interrupted.
 
@@ -314,7 +330,8 @@ def run_server(checkpoint_path, identity: str, *, host: str = "0.0.0.0",
             checkpoint_path, name, height=height, width=width,
             batch_size=batch_size, use_ema=use_ema,
             sampler_steps=sampler_steps, max_wait_ms=max_wait_ms,
-            transfer=transfer, devices=devices)
+            transfer=transfer, devices=devices,
+            max_queue_frames=max_queue_frames)
         if verbose:
             print(f"compiling swap pipeline for '{name}' ({height}x{width}, "
                   f"batch {batch_size}) ...", flush=True)

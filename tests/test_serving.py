@@ -374,3 +374,123 @@ def test_engine_rejects_too_many_devices(checkpoint):
     with pytest.raises(ValueError, match="devices="):
         SwapEngine(checkpoint, "a", height=SIZE, width=SIZE,
                    devices=jax.local_device_count() + 1)
+
+
+# ------------------------------------------------------------- backpressure
+
+
+class _GatedPipeline:
+    """Wraps a compiled pipeline so the dispatcher blocks until released —
+    makes queue buildup deterministic for overload tests."""
+
+    def __init__(self, inner):
+        self.inner = inner
+        self.entered = threading.Event()
+        self.gate = threading.Event()
+
+    def __call__(self, dev_arr, key, batch_idx):
+        self.entered.set()
+        assert self.gate.wait(timeout=60)
+        return self.inner(dev_arr, key, batch_idx)
+
+
+def _wait_for(predicate, timeout=30.0):
+    import time
+
+    deadline = time.monotonic() + timeout
+    while time.monotonic() < deadline:
+        if predicate():
+            return True
+        time.sleep(0.01)
+    return False
+
+
+def test_engine_sheds_on_overload(checkpoint):
+    """Queue past the watermark: the call is rejected with a drain estimate
+    BEFORE any slice is enqueued; admitted callers drain normally after."""
+    from denoising_diffusion_deep_fake_tpu.serving import EngineOverloadedError
+
+    eng = SwapEngine(checkpoint, "a", height=SIZE, width=SIZE, batch_size=2,
+                     max_wait_ms=1.0, max_queue_frames=4)
+    try:
+        eng.warmup()
+        gated = _GatedPipeline(eng._dispatchers[0].pipeline)
+        eng._dispatchers[0].pipeline = gated
+
+        frames = np.zeros((2, SIZE, SIZE, 3), np.uint8)
+        results = []
+        threads = [threading.Thread(
+            target=lambda: results.append(eng.swap(frames)))
+            for _ in range(3)]
+        threads[0].start()
+        assert gated.entered.wait(timeout=30)   # batch 1 on-device, blocked
+        for t in threads[1:]:
+            t.start()                            # 4 frames queued
+        assert _wait_for(lambda: eng.stats()["queue_depth"] == 4)
+
+        with pytest.raises(EngineOverloadedError) as exc:
+            eng.swap(frames)                     # 4 + 2 > watermark 4
+        assert exc.value.retry_after_s > 0
+
+        gated.gate.set()
+        for t in threads:
+            t.join(timeout=60)
+        assert len(results) == 3                 # admitted calls all served
+        stats = eng.stats()
+        assert stats["shed_requests"] == 1
+        assert stats["queue_high_water"] == 4
+        assert stats["queue_depth"] == 0         # fully drained
+        assert stats["max_queue_frames"] == 4
+        assert stats["errors"] == 0              # sheds are not errors
+    finally:
+        gated.gate.set()
+        eng.close()
+
+
+def test_engine_rejects_watermark_below_batch(checkpoint):
+    with pytest.raises(ValueError, match="max_queue_frames"):
+        SwapEngine(checkpoint, "a", height=SIZE, width=SIZE, batch_size=4,
+                   max_queue_frames=2)
+
+
+def test_server_sheds_with_503_and_retry_after(checkpoint):
+    """HTTP face of admission control: 503 + Retry-After + JSON error body;
+    the connection stays usable and the engine recovers."""
+    eng = SwapEngine(checkpoint, "a", height=SIZE, width=SIZE, batch_size=2,
+                     max_wait_ms=1.0, max_queue_frames=2)
+    gated = None
+    try:
+        eng.warmup()
+        gated = _GatedPipeline(eng._dispatchers[0].pipeline)
+        eng._dispatchers[0].pipeline = gated
+        with SwapServer(eng, port=0) as srv:
+            frames = np.zeros((2, SIZE, SIZE, 3), np.uint8)
+            hdrs = {"X-Shape": f"2,{SIZE},{SIZE},3"}
+
+            replies = []
+            threads = [threading.Thread(target=lambda: replies.append(
+                _request(srv.port, "POST", "/v1/swap_raw",
+                         body=frames.tobytes(), headers=hdrs)))
+                for _ in range(2)]
+            threads[0].start()
+            assert gated.entered.wait(timeout=30)  # batch 1 in flight
+            threads[1].start()                      # 2 frames queued (full)
+            assert _wait_for(lambda: eng.stats()["queue_depth"] == 2)
+
+            status, data, headers = _request(
+                srv.port, "POST", "/v1/swap_raw", body=frames.tobytes(),
+                headers=hdrs)
+            assert status == 503, data
+            assert int(headers["Retry-After"]) >= 1
+            assert b"overloaded" in data
+
+            gated.gate.set()
+            for t in threads:
+                t.join(timeout=60)
+            assert [r[0] for r in replies] == [200, 200]
+            status, data, _ = _request(srv.port, "GET", "/v1/stats")
+            assert json.loads(data)["shed_requests"] == 1
+    finally:
+        if gated is not None:
+            gated.gate.set()
+        eng.close()

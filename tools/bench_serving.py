@@ -9,7 +9,9 @@ the lever for byte-bound links like this dev tunnel). Default: both.
 
 Measures sustained frames/sec through the full HTTP + micro-batch + device
 path for 1, 4, 8, and 16 concurrent raw-tensor clients, plus single-request
-p50 latency. Prints one JSON line per row.
+p50 latency, plus a 64-client OVERLOAD row probing the admission-control
+regime (bounded p99 for admitted requests, clean 503 shedding for the rest).
+Prints one JSON line per row.
 """
 
 from __future__ import annotations
@@ -77,6 +79,73 @@ def client_loop(port: int, body: bytes, headers: dict, n_frames: int,
     conn.close()
 
 
+def overload_client_loop(port: int, body: bytes, headers: dict,
+                         n_frames: int, stop: threading.Event,
+                         out: dict) -> None:
+    """Client that tolerates 503 shedding: counts sheds, honors Retry-After
+    (capped) and records success latencies."""
+    conn = http.client.HTTPConnection("127.0.0.1", port, timeout=120)
+    while not stop.is_set():
+        t0 = time.perf_counter()
+        conn.request("POST", "/v1/swap_raw", body=body, headers=headers)
+        resp = conn.getresponse()
+        resp.read()
+        dt_ms = (time.perf_counter() - t0) * 1e3
+        if resp.status == 200:
+            out["ok_frames"] += n_frames
+            out["lat_ms"].append(dt_ms)
+        elif resp.status == 503:
+            out["shed"] += 1
+            retry = float(resp.getheader("Retry-After") or 1)
+            stop.wait(min(retry, 0.5))
+        else:
+            raise AssertionError(f"unexpected status {resp.status}")
+    conn.close()
+
+
+def bench_overload(engine, port: int, wire: str, n_clients: int = 64) -> None:
+    """Overload regime: clients far beyond device throughput. Healthy
+    behavior = bounded p99 for ADMITTED requests + clean 503 shedding for
+    the rest (pre-backpressure this grew the queue and every caller's
+    latency without bound)."""
+    rng = np.random.default_rng(1)
+    body, headers, n_frames = _wire_payload(rng, 2, wire)
+    stop = threading.Event()
+    outs = [{"ok_frames": 0, "shed": 0, "lat_ms": []}
+            for _ in range(n_clients)]
+    threads = [threading.Thread(
+        target=overload_client_loop,
+        args=(port, body, headers, n_frames, stop, outs[i]), daemon=True)
+        for i in range(n_clients)]
+    for t in threads:
+        t.start()
+    time.sleep(2.0)  # ramp
+    base_ok = sum(o["ok_frames"] for o in outs)
+    base_shed = sum(o["shed"] for o in outs)
+    n_lat_base = [len(o["lat_ms"]) for o in outs]
+    t0 = time.perf_counter()
+    time.sleep(10.0)
+    elapsed = time.perf_counter() - t0
+    ok = sum(o["ok_frames"] for o in outs) - base_ok
+    shed = sum(o["shed"] for o in outs) - base_shed
+    lat = np.concatenate([np.asarray(o["lat_ms"][n:] or [0.0])
+                          for o, n in zip(outs, n_lat_base)])
+    stop.set()
+    for t in threads:
+        t.join(timeout=60)
+    stats = engine.stats()
+    total_reqs = ok / n_frames + shed
+    print(json.dumps({
+        "metric": f"serve_overload_{n_clients}clients_448_{wire}",
+        "value": round(ok / elapsed, 1), "unit": "frames/sec",
+        "shed_rate": round(shed / total_reqs, 3) if total_reqs else 0.0,
+        "p50_ok_ms": round(float(np.percentile(lat, 50)), 1),
+        "p99_ok_ms": round(float(np.percentile(lat, 99)), 1),
+        "queue_high_water": stats["queue_high_water"],
+        "max_queue_frames": stats["max_queue_frames"],
+        "batch_occupancy": stats["batch_occupancy"]}), flush=True)
+
+
 def bench_wire(ckpt: str, wire: str) -> None:
     from denoising_diffusion_deep_fake_tpu.serving import SwapEngine
     from denoising_diffusion_deep_fake_tpu.serving.server import SwapServer
@@ -126,6 +195,8 @@ def bench_wire(ckpt: str, wire: str) -> None:
                 "metric": f"serve_throughput_{n_clients}clients_448_{wire}",
                 "value": round(fps, 1), "unit": "frames/sec",
                 "batch_occupancy": stats["batch_occupancy"]}), flush=True)
+
+        bench_overload(engine, server.port, wire)
 
 
 def main():
