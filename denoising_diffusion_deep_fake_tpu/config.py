@@ -88,9 +88,12 @@ class BaseConfig:
     #              per-step host->device image bytes. TPU-native mode for
     #              datasets that fit HBM (the reference's face datasets are
     #              thousands of fixed crops: 10k 448² frames = ~6 GB vs 16).
-    #              Single-process only; epoch shuffle order matches the host
-    #              loader exactly (same seeded permutation, uploaded once per
-    #              epoch). See data/device_cache.py.
+    #              Single-process: epoch shuffle matches the host loader
+    #              exactly (same seeded permutation). Multi-process: each
+    #              process pins its manifest shard axis-0-sharded over its
+    #              local devices (HBM cost /= n_devices, shard-local
+    #              gathers); shuffle is per-device within fixed sub-shards.
+    #              See data/device_cache.py.
     data_cache: str = "host"
     # Refuse to device-cache datasets larger than this (HBM headroom for
     # params/activations comes first).
@@ -102,6 +105,14 @@ class BaseConfig:
     #   shapes), pallas (VMEM two-pass kernel), pallas_fused (whole-sample
     #   one-kernel warp incl. in-kernel uint8 normalize).
     warp_method: str = "auto"
+    # Photometric augmentation (the north-star chain's "color jitter" leg;
+    # the reference has none, so the parity default is OFF): Kornia
+    # ColorJitter strengths (brightness, contrast, saturation, hue<=0.5),
+    # applied per sample with probability color_jitter_p AFTER the affine
+    # warp, on-device, fused into the step (ops/color.py). The balance
+    # workload has no augmentation chain and ignores these.
+    color_jitter: tuple = (0.0, 0.0, 0.0, 0.0)
+    color_jitter_p: float = 1.0
     # MXU input precision for matmuls/convs (jax.default_matmul_precision):
     #   auto (default): "highest" when compute_dtype is float32 — the TPU
     #   backend otherwise rounds fp32 conv inputs to one-pass bf16, which
@@ -175,6 +186,15 @@ class BaseConfig:
                                          "highest"):
             raise ValueError(
                 f"unknown matmul_precision {self.matmul_precision!r}")
+        if len(tuple(self.color_jitter)) != 4:
+            raise ValueError(
+                "color_jitter must be (brightness, contrast, saturation, "
+                f"hue), got {self.color_jitter!r}")
+        from denoising_diffusion_deep_fake_tpu.ops.color import (
+            ColorJitterConfig)
+
+        ColorJitterConfig(*self.color_jitter,  # range validation
+                          probability=self.color_jitter_p)
 
     def resolved_matmul_precision(self) -> str | None:
         """The jax.default_matmul_precision value to trace under, or None

@@ -81,6 +81,12 @@ class DeepFakeTrainer:
         self.ema_cfg = EmaConfig(beta=cfg.ema_beta,
                                  update_every=cfg.ema_update_every,
                                  update_after_step=cfg.ema_update_after_step)
+        from denoising_diffusion_deep_fake_tpu.ops.color import (
+            ColorJitterConfig)
+
+        self.jitter = ColorJitterConfig(
+            *getattr(cfg, "color_jitter", (0.0,) * 4),
+            probability=getattr(cfg, "color_jitter_p", 1.0))
 
     # ---------------------------------------------------------------- states
 
@@ -176,6 +182,19 @@ class DeepFakeTrainer:
                                self.aug, method=warp)
         real_b = augment_batch(k_aug_b, batch_b_u8, cfg.mean_b, cfg.std_b,
                                self.aug, method=warp)
+        if self.jitter.enabled:
+            from denoising_diffusion_deep_fake_tpu.ops.color import (
+                color_jitter_normalised, sample_color_jitter_params)
+
+            # fold_in(k, 2): new per-identity streams — aug/noise/drop keys
+            # (and the goldens, which run with jitter off) are unchanged.
+            def jit_one(key, x, mean, std):
+                params = sample_color_jitter_params(
+                    jax.random.fold_in(key, 2), x.shape[0], self.jitter)
+                return color_jitter_normalised(x, params, mean, std)
+
+            real_a = jit_one(k_a, real_a, cfg.mean_a, cfg.std_a)
+            real_b = jit_one(k_b, real_b, cfg.mean_b, cfg.std_b)
 
         metrics: dict[str, Any] = {}
         images: dict[str, Any] = {}

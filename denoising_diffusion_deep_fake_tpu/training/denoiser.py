@@ -56,6 +56,12 @@ class DenoiserTrainer:
         self.aug = AffineAugmentConfig.random_affine(
             degrees=cfg.aug_degrees, translate=cfg.aug_translate,
             scale_min=cfg.aug_scale_min, scale_max=cfg.aug_scale_max, p=1.0)
+        from denoising_diffusion_deep_fake_tpu.ops.color import (
+            ColorJitterConfig)
+
+        self.jitter = ColorJitterConfig(
+            *getattr(cfg, "color_jitter", (0.0,) * 4),
+            probability=getattr(cfg, "color_jitter_p", 1.0))
 
     def init_state(self, rng: jax.Array) -> ModelState:
         shape = (1, self.image_size, self.image_size, 3)
@@ -81,6 +87,16 @@ class DenoiserTrainer:
         k_drop = jax.random.fold_in(rng, 1)
         image = augment_batch(k_aug, batch_u8, cfg.mean, cfg.std, self.aug,
                               method=getattr(cfg, "warp_method", "auto"))
+        if self.jitter.enabled:
+            from denoising_diffusion_deep_fake_tpu.ops.color import (
+                color_jitter_normalised, sample_color_jitter_params)
+
+            # fold_in(rng, 2): a NEW stream — k_aug/k_noise/k_drop (and the
+            # pinned goldens, which run with jitter off) are unchanged.
+            jit_params = sample_color_jitter_params(
+                jax.random.fold_in(rng, 2), image.shape[0], self.jitter)
+            image = color_jitter_normalised(image, jit_params,
+                                            cfg.mean, cfg.std)
         noisy, _ = blend_random_amount_of_noise(
             k_noise, image, cfg.noise_exponential_sampling_lambda)
 

@@ -33,7 +33,7 @@ def report(name, value, unit, **extra):
                       **extra}), flush=True)
 
 
-def bench_denoiser(size, batch, encoder="resnet34", steps=10):
+def bench_denoiser(size, batch, encoder="resnet34", steps=10, jitter=None):
     from denoising_diffusion_deep_fake_tpu.config import (
         DenoiserConfig, config_from_dict)
     from denoising_diffusion_deep_fake_tpu.training.denoiser import (
@@ -42,7 +42,8 @@ def bench_denoiser(size, batch, encoder="resnet34", steps=10):
     cfg = config_from_dict(DenoiserConfig, dict(
         input_image_list_path="x", batch_size=batch, learning_rate=1e-3,
         encoder_name=encoder, compute_dtype="bfloat16",
-        noise_exponential_sampling_lambda=5.0), validate=False)
+        noise_exponential_sampling_lambda=5.0,
+        color_jitter=jitter or (0.0,) * 4), validate=False)
     tr = DenoiserTrainer(cfg, steps_per_epoch=1000, image_size=size)
     state = tr.init_state(jax.random.PRNGKey(0))
     step = tr.make_train_step()
@@ -52,8 +53,48 @@ def bench_denoiser(size, batch, encoder="resnet34", steps=10):
     key = jax.random.PRNGKey(1)
 
     dt, _ = timed_loop(lambda s: step(s, u8, key)[0], state, steps=steps)
-    report(f"denoiser_train_{size}px_b{batch}", batch / dt, "imgs/sec",
+    tag = "_jitter" if jitter else ""
+    report(f"denoiser_train_{size}px_b{batch}{tag}", batch / dt, "imgs/sec",
            step_ms=round(dt * 1e3, 2))
+
+
+def bench_jitter_op(size, batch):
+    """Chained marginal of the fused color-jitter op alone (448² b16 op
+    point): the photometric chain is elementwise + one mean, so the target
+    is ~HBM-roundtrip cost; compare against the in-step delta
+    (denoiser448 vs denoiser448_jitter) to see what XLA fusion absorbs."""
+    import time
+
+    from denoising_diffusion_deep_fake_tpu.ops.color import (
+        ColorJitterConfig, color_jitter_normalised, sample_color_jitter_params)
+    from denoising_diffusion_deep_fake_tpu.utils.timing import value_barrier
+
+    cfg = ColorJitterConfig(brightness=0.4, contrast=0.4, saturation=0.4,
+                            hue=0.1)
+    x0 = jnp.asarray(np.random.default_rng(0).random(
+        (batch, size, size, 3), np.float32) * 2 - 1, jnp.bfloat16)
+    base = jax.random.PRNGKey(0)
+
+    def make_chain(n):
+        def fn():
+            x = x0
+            for i in range(n):
+                params = sample_color_jitter_params(
+                    jax.random.fold_in(base, i), batch, cfg)
+                x = color_jitter_normalised(x, params, [0.5] * 3, [0.5] * 3)
+            return x
+        return fn
+
+    def run(n):
+        fn = jax.jit(make_chain(n))
+        value_barrier(fn())
+        t0 = time.perf_counter()
+        for _ in range(8):
+            value_barrier(fn())
+        return (time.perf_counter() - t0) / 8
+
+    ms = (run(12) - run(4)) / 8 * 1e3
+    report(f"color_jitter_op_{size}px_b{batch}", ms, "ms/op")
 
 
 def bench_swap_train(size, batch, encoder="resnet34", steps=8):
@@ -127,6 +168,11 @@ BENCHES = {
     "ddim256_b32": lambda: bench_ddim_swap(256, 32, 50),   # offline throughput
     "swap448": lambda: bench_single_pass_swap(448, 16),
     "swap448_b32": lambda: bench_single_pass_swap(448, 32),
+    # Color-jitter marginal (VERDICT r3 #4): the op alone + the in-step cost.
+    "jitter448_op": lambda: bench_jitter_op(448, 16),
+    "denoiser448": lambda: bench_denoiser(448, 16, steps=6),
+    "denoiser448_jitter": lambda: bench_denoiser(
+        448, 16, steps=6, jitter=(0.4, 0.4, 0.4, 0.1)),
 }
 
 
