@@ -113,7 +113,8 @@ def _build_steps(cfg, mesh, trainer, *loaders, paired: bool = False):
         # Multi-loader (paired) epoch length is the shorter identity's —
         # PairedLoader semantics.
         spe = min(c.steps_per_epoch for c in caches)
-        plain, img = cached_steps_for(trainer, spe, paired=paired, mesh=mesh)
+        plain, img = cached_steps_for(trainer, spe, paired=paired, mesh=mesh,
+                                      sharded=any(c.sharded for c in caches))
         return caches, plain, img, spe
     return (None, trainer.make_train_step(with_images=False),
             trainer.make_train_step(with_images=True, donate=False), None)
@@ -390,7 +391,13 @@ def fit_balance(cfg: BalanceConfig, *, max_steps: int | None = None,
             # holds the full dataset — see above) so the replicated state
             # stays usable.
             val_rng = jax.random.fold_in(rng, 2_000_000_000 + epoch)
-            if caches:
+            if caches and caches[0].sharded:
+                # Multi-process sharded cache holds only this host's shard;
+                # difficulty classes need the FULL dataset min-max, so score
+                # through the (unsharded) host val_loader instead.
+                indices, losses = trainer.score_dataset(
+                    state, val_loader, val_rng, mesh=mesh)
+            elif caches:
                 # Score straight off the pinned dataset: in-jit slices, only
                 # the (B,) loss vectors cross the link. Its manifest order
                 # equals val_loader's (same manifest, unsharded).

@@ -112,6 +112,50 @@ def test_score_dataset_pads_tail_and_shards(tmp_path):
     assert np.isfinite(losses).all()
 
 
+def _two_proc_env():
+    repo = str(Path(__file__).resolve().parents[1])
+    env = dict(os.environ)
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    for var in ("D3F_COORDINATOR", "D3F_NUM_PROCESSES", "D3F_PROCESS_ID"):
+        env.pop(var, None)
+    return repo, env
+
+
+def _launch_two(workdir, workload: str, *, timeout: int = 600):
+    """Start the 2-process training worker pair; returns the live Popens."""
+    worker = Path(__file__).parent / "two_process_train_worker.py"
+    repo, env = _two_proc_env()
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    return [subprocess.Popen(
+        [sys.executable, str(worker), f"127.0.0.1:{port}", "2", str(i),
+         str(workdir), workload],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        cwd=repo, env=env) for i in range(2)]
+
+
+def _finish_two(procs, timeout: int = 600):
+    outs = [p.communicate(timeout=timeout)[0] for p in procs]
+    return outs, [p.returncode for p in procs]
+
+
+def _launch_two_retrying(workdir, workload: str, *, timeout: int = 600):
+    """Launch + wait, retrying ONCE on the Gloo 30 s connect-window flake
+    (see _run_two_process_workload). Safe only for workloads whose failed
+    first attempt leaves no partial on-disk state behind — the connect
+    timeout fires before any training step runs."""
+    for attempt in range(2):
+        outs, rcs = _finish_two(_launch_two(workdir, workload), timeout)
+        if all(rc == 0 for rc in rcs):
+            return outs
+        flaky = any("timeout" in o.lower() or "timed out" in o.lower()
+                    for o in outs)
+        assert flaky and attempt == 0, (
+            "non-timeout failure:\n" + "\n----\n".join(outs))
+    raise AssertionError("retry fell through")
+
+
 def _run_two_process_workload(tmp_path, workload: str, expect: str):
     """2 real processes run a fit_* runner end to end over a 4-device mesh.
 
@@ -175,6 +219,14 @@ def test_two_process_swap_training(tmp_path):
 
 
 @pytest.mark.slow
+def test_two_process_device_cache(tmp_path):
+    """data_cache='device' across 2 real processes: per-process manifest
+    shards pinned axis-0-sharded in local device memory, shard-local in-jit
+    gathers (VERDICT r3 #7)."""
+    _run_two_process_workload(tmp_path, "devcache", "devcache trained 2 steps OK")
+
+
+@pytest.mark.slow
 def test_two_process_balance_scoring(tmp_path):
     """fit_balance multi-process: replicated scoring pass + manifest write
     (round-1 advisor finding: this path previously fetched non-addressable
@@ -218,3 +270,104 @@ def test_data_parallel_step_matches_single_device(tmp_path):
     # Identical math up to reduction-order float differences.
     assert abs(results[1][0] - results[4][0]) < 1e-5, results
     assert abs(results[1][1] - results[4][1]) < 1e-3, results
+
+
+# ------------------------------------------------ failure paths (VERDICT r3)
+
+
+@pytest.mark.slow
+def test_two_process_preemption_agreement(tmp_path):
+    """SIGTERM ONE rank mid-training: the agreement collective
+    (training/loop.py preempted()) must make BOTH ranks stop at the same
+    step boundary, save one final checkpoint at that step, and exit 0."""
+    import re
+    import signal
+    import time
+
+    from denoising_diffusion_deep_fake_tpu.checkpoint import CheckpointManager
+
+    for attempt in range(2):
+        workdir = tmp_path / f"attempt{attempt}"
+        workdir.mkdir()
+        make_image_dataset(workdir, n=8, size=32, seed=0)
+        procs = _launch_two(workdir, "preempt")
+        markers = [workdir / f"rank{i}.started" for i in range(2)]
+        deadline = time.time() + 540
+        while (time.time() < deadline
+               and not all(m.exists() for m in markers)
+               and all(p.poll() is None for p in procs)):
+            time.sleep(0.5)
+        if any(p.poll() is not None for p in procs):
+            # A rank died before training started — Gloo connect flake path.
+            outs, _ = _finish_two(procs, timeout=60)
+            flaky = any("timeout" in o.lower() or "timed out" in o.lower()
+                        for o in outs)
+            assert flaky and attempt == 0, (
+                "rank died pre-training:\n" + "\n----\n".join(outs))
+            continue
+        assert all(m.exists() for m in markers), "training never started"
+        procs[0].send_signal(signal.SIGTERM)  # rank 0 ONLY
+        outs, rcs = _finish_two(procs, timeout=300)
+        assert rcs == [0, 0], "\n----\n".join(outs)
+        steps = [int(re.search(r"preempt stopped at (\d+) OK", o).group(1))
+                 for o in outs]
+        # Both ranks agreed on the SAME stop step, strictly mid-training.
+        assert steps[0] == steps[1] > 0, steps
+        # Exactly one (final) checkpoint, at the agreed step, by the primary.
+        assert CheckpointManager(workdir / "ckpt").all_steps() == [steps[0]]
+        return
+    raise AssertionError("both attempts hit the connect flake")
+
+
+@pytest.mark.slow
+def test_two_process_nan_guard_lockstep(tmp_path):
+    """A NaN metric at the same step on both ranks: the synchronous
+    multi-process guard (_sync_metrics, training/loop.py) must raise
+    TrainingDivergedError on BOTH ranks at the same step — not one rank
+    aborting while its peer hangs in a collective — and the primary must
+    write the emergency checkpoint."""
+    from denoising_diffusion_deep_fake_tpu.checkpoint import CheckpointManager
+
+    make_image_dataset(tmp_path, n=8, size=32, seed=0)
+    outs = _launch_two_retrying(tmp_path, "nanguard")
+    for i, out in enumerate(outs):
+        assert f"proc {i}: nan lockstep:" in out, out
+        assert "'injected'" in out and "at step 2" in out, out
+        assert "emergency checkpoint saved" in out, out
+    # Emergency save landed at the divergence step, primary-only.
+    assert CheckpointManager(tmp_path / "ckpt").all_steps() == [2]
+
+
+@pytest.mark.slow
+def test_two_process_checkpoint_resume_bit_exact(tmp_path):
+    """Cross-process island-mode resume: train 2 steps, exit, relaunch BOTH
+    processes resuming from the checkpoint, train to step 4. The resumed
+    final state must BIT-match an uninterrupted 4-step run (params, EMA
+    shadows, Adam moments, BN stats, RNG and data order all continue
+    exactly), and both ranks must restore identical state."""
+    import re
+
+    from denoising_diffusion_deep_fake_tpu.checkpoint import CheckpointManager
+
+    make_image_dataset(tmp_path, n=8, size=32, seed=0)
+    make_image_dataset(tmp_path, n=8, size=32, seed=1, subdir="a",
+                       manifest_name="a.txt")
+    make_image_dataset(tmp_path, n=8, size=32, seed=2, subdir="b",
+                       manifest_name="b.txt")
+
+    ref_outs = _launch_two_retrying(tmp_path, "resume_ref4")
+    ref = re.search(r"ref4 step 4 checksum (\S+) OK", ref_outs[0]).group(1)
+
+    phase1 = _launch_two_retrying(tmp_path, "resume_train2")
+    for i, out in enumerate(phase1):
+        assert f"proc {i}: train2 step 2 OK" in out, out
+    assert CheckpointManager(tmp_path / "ckpt").all_steps() == [2]
+
+    phase2 = _launch_two_retrying(tmp_path, "resume_resume4")
+    sums = [re.search(r"resume4 step 4 checksum (\S+) OK", o).group(1)
+            for o in phase2]
+    # Both ranks restored + continued to identical state...
+    assert sums[0] == sums[1], sums
+    # ...and it bit-matches the uninterrupted run.
+    assert sums[0] == ref, (sums[0], ref)
+    assert CheckpointManager(tmp_path / "ckpt").all_steps() == [2, 4]
