@@ -15,7 +15,10 @@ tool produces the evidence for whether the extension *improves* anything
    0.7) against the held-out REAL frame — higher = more structure kept
    while identity statistics shift.
 
-Run with the chip free:  python tools/ddim_quality.py [train_steps]
+Run with the chip free:  python tools/ddim_quality.py [train_steps] [size]
+[batch]. Defaults 300/64/16; the VERDICT-r3 evidence shapes are 256 (the
+BASELINE.json configs[3] DDIM operating point) and 448 (the reference's own
+data shape) — drop batch accordingly (e.g. 300 256 8, 300 448 4).
 Prints one JSON line; record the outcome in BASELINE.md (keep single-pass
 the default if refinement does not win — and say so).
 """
@@ -41,7 +44,8 @@ def psnr(a, b, peak=2.0):
 
 def main():
     train_steps = int(sys.argv[1]) if len(sys.argv) > 1 else 300
-    size, batch = 64, 16
+    size = int(sys.argv[2]) if len(sys.argv) > 2 else 64
+    batch = int(sys.argv[3]) if len(sys.argv) > 3 else 16
 
     import jax
     import jax.numpy as jnp
@@ -55,8 +59,10 @@ def main():
     from denoising_diffusion_deep_fake_tpu.training.runners import fit_deep_fake
 
     tmp = Path(tempfile.mkdtemp(prefix="ddim_quality_"))
-    m_a = make_blob_dataset(tmp / "a", seed=1, tint=(0.75, 0.35, 0.30))
-    m_b = make_blob_dataset(tmp / "b", seed=2, tint=(0.30, 0.40, 0.75))
+    m_a = make_blob_dataset(tmp / "a", size=size, seed=1,
+                            tint=(0.75, 0.35, 0.30))
+    m_b = make_blob_dataset(tmp / "b", size=size, seed=2,
+                            tint=(0.30, 0.40, 0.75))
 
     base = dict(
         mode="denoise", data_path_a=str(m_a), data_path_b=str(m_b),
@@ -71,7 +77,8 @@ def main():
 
     # Held-out identity-A images (fresh seed), normalized like training.
     rng = np.random.default_rng(99)
-    m_test = make_blob_dataset(tmp / "test", seed=7, tint=(0.75, 0.35, 0.30))
+    m_test = make_blob_dataset(tmp / "test", size=size, seed=7,
+                               tint=(0.75, 0.35, 0.30))
     from denoising_diffusion_deep_fake_tpu.data import ImageLoader
 
     test_u8, _ = next(ImageLoader(m_test, batch, shuffle=False).epoch(0))
@@ -122,8 +129,9 @@ def main():
         row[f"ddim{steps}_psnr_vs_real"] = round(psnr(fake_ddim, x), 2)
     results["swap_structure"] = row
 
-    print(json.dumps({"metric": "ddim_quality_evidence",
-                      "train_steps": train_steps, **results}))
+    print(json.dumps({"metric": f"ddim_quality_evidence_{size}",
+                      "train_steps": train_steps, "size": size,
+                      "batch": batch, **results}))
 
 
 if __name__ == "__main__":
