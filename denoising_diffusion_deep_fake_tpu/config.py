@@ -105,6 +105,13 @@ class BaseConfig:
     #   shapes), pallas (VMEM two-pass kernel), pallas_fused (whole-sample
     #   one-kernel warp incl. in-kernel uint8 normalize).
     warp_method: str = "auto"
+    # Gradient-path rematerialization (jax.checkpoint) policy: none | dots |
+    # full. "dots" saves MXU outputs and recomputes elementwise/BN chains in
+    # the backward pass — trades FLOPs for HBM reads, relevant only at large
+    # spatial shapes (448²+); at 64² XLA fusion already minimizes traffic
+    # (BASELINE.md round-1 negative result; round-4 "448² step anatomy" for
+    # the large-shape measurement).
+    remat: str = "none"
     # Photometric augmentation (the north-star chain's "color jitter" leg;
     # the reference has none, so the parity default is OFF): Kornia
     # ColorJitter strengths (brightness, contrast, saturation, hue<=0.5),
@@ -186,6 +193,8 @@ class BaseConfig:
                                          "highest"):
             raise ValueError(
                 f"unknown matmul_precision {self.matmul_precision!r}")
+        if self.remat not in ("none", "dots", "full"):
+            raise ValueError(f"unknown remat policy {self.remat!r}")
         if len(tuple(self.color_jitter)) != 4:
             raise ValueError(
                 "color_jitter must be (brightness, contrast, saturation, "

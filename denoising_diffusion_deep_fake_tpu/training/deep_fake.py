@@ -137,9 +137,16 @@ class DeepFakeTrainer:
         return jax.lax.stop_gradient(y)
 
     def _train_one_model(self, state: ModelState, noisy, target, rng=None):
+        from denoising_diffusion_deep_fake_tpu.training.state import (
+            maybe_remat)
+
+        fwd = maybe_remat(
+            lambda params, x: self._forward_train(params, state.batch_stats,
+                                                  x, rng),
+            getattr(self.cfg, "remat", "none"))
+
         def loss_fn(params):
-            pred, mutated = self._forward_train(params, state.batch_stats,
-                                                noisy, rng)
+            pred, mutated = fwd(params, noisy)
             return mse_ssim_loss(pred, target), (mutated["batch_stats"], pred)
 
         (loss, (new_bs, pred)), grads = jax.value_and_grad(

@@ -100,13 +100,20 @@ class DenoiserTrainer:
         noisy, _ = blend_random_amount_of_noise(
             k_noise, image, cfg.noise_exponential_sampling_lambda)
 
+        from denoising_diffusion_deep_fake_tpu.training.state import (
+            maybe_remat)
+
+        fwd = maybe_remat(
+            lambda params, x: self.model.apply(
+                {"params": params, "batch_stats": state.batch_stats}, x,
+                train=True, mutable=["batch_stats"],
+                rngs={"dropout": k_drop}),
+            getattr(cfg, "remat", "none"))
+
         def loss_fn(params):
             # The "dropout" collection drives stochastic depth in encoders
             # that use it (efficientnet); inert for the other families.
-            pred, mutated = self.model.apply(
-                {"params": params, "batch_stats": state.batch_stats}, noisy,
-                train=True, mutable=["batch_stats"],
-                rngs={"dropout": k_drop})
+            pred, mutated = fwd(params, noisy)
             return mse_ssim_loss(pred, image), (mutated["batch_stats"], pred)
 
         (loss, (new_bs, pred)), grads = jax.value_and_grad(

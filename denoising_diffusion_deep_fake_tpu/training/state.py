@@ -88,3 +88,24 @@ def param_count(tree) -> int:
     import numpy as np
 
     return sum(int(np.prod(p.shape)) for p in jax.tree.leaves(tree))
+
+
+def maybe_remat(forward, policy: str):
+    """Wrap a gradient-path forward in ``jax.checkpoint`` per config.
+
+    ``policy``: "none" (default — round-1 measurements at 64² showed XLA's
+    fusion already minimizes traffic there), "dots" (save MXU outputs,
+    rematerialize elementwise/BN chains — the usual bandwidth-relief policy
+    for large spatial activations), "full" (save nothing).
+
+    Exposed as the ``remat`` config knob for the 448² class of shapes where
+    backward-pass activation reads dominate HBM traffic (BASELINE.md
+    "448² step anatomy").
+    """
+    if policy == "none":
+        return forward
+    policies = {
+        "dots": jax.checkpoint_policies.checkpoint_dots,
+        "full": jax.checkpoint_policies.nothing_saveable,
+    }
+    return jax.checkpoint(forward, policy=policies[policy])

@@ -120,3 +120,32 @@ def test_model_state_create_and_apply(rng):
     np.testing.assert_allclose(
         np.asarray(jax.tree.leaves(new2.ema_params)[0]),
         np.asarray(jax.tree.leaves(new.params)[0]))
+
+
+def test_remat_policies_are_math_identical():
+    """The remat knob (448² bandwidth lever) must not change any math —
+    losses bit-match across none/dots/full on the same inputs."""
+    import jax
+    import numpy as np
+
+    from denoising_diffusion_deep_fake_tpu.config import (
+        DenoiserConfig, config_from_dict)
+    from denoising_diffusion_deep_fake_tpu.training.denoiser import (
+        DenoiserTrainer)
+
+    batch = np.random.default_rng(0).integers(
+        0, 256, (2, 32, 32, 3), dtype=np.uint8)
+    key = jax.random.PRNGKey(7)
+    losses = {}
+    for remat in ("none", "dots", "full"):
+        cfg = config_from_dict(DenoiserConfig, dict(
+            input_image_list_path="x", batch_size=2, learning_rate=1e-3,
+            encoder_name="resnet18", compute_dtype="float32",
+            noise_exponential_sampling_lambda=3.0, remat=remat),
+            validate=False)
+        trainer = DenoiserTrainer(cfg, steps_per_epoch=10, image_size=32)
+        state = trainer.init_state(jax.random.PRNGKey(0))
+        step = trainer.make_train_step(donate=False)
+        _, metrics = step(state, batch, key)
+        losses[remat] = float(metrics["loss"])
+    assert losses["none"] == losses["dots"] == losses["full"], losses

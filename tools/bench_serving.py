@@ -199,12 +199,57 @@ def bench_wire(ckpt: str, wire: str) -> None:
         bench_overload(engine, server.port, wire)
 
 
+def bench_sampler(ckpt: str, sampler_steps: int = 10,
+                  wire: str = "i420") -> None:
+    """DDIM-refinement serving row (VERDICT r3 #5): the engine's
+    sampler_steps>0 mode under concurrent load — N denoising steps per
+    frame ride one lax.scan program, so the cost is ~N forward passes."""
+    from denoising_diffusion_deep_fake_tpu.serving import SwapEngine
+    from denoising_diffusion_deep_fake_tpu.serving.server import SwapServer
+
+    engine = SwapEngine(ckpt, "a", height=SIZE, width=SIZE, batch_size=BATCH,
+                        max_wait_ms=4.0, transfer=wire,
+                        sampler_steps=sampler_steps)
+    secs = engine.warmup()
+    print(f"# [sampler{sampler_steps}/{wire}] compile {secs:.1f}s",
+          flush=True)
+    rng = np.random.default_rng(2)
+    with SwapServer(engine, port=0) as server:
+        for n_clients in (1, 8):
+            body, headers, n_frames = _wire_payload(rng, 2, wire)
+            stop = threading.Event()
+            counter = [0]
+            threads = [threading.Thread(
+                target=client_loop,
+                args=(server.port, body, headers, n_frames, stop, counter),
+                daemon=True) for _ in range(n_clients)]
+            for t in threads:
+                t.start()
+            time.sleep(2.0)
+            start_count = counter[0]
+            t0 = time.perf_counter()
+            time.sleep(8.0)
+            fps = (counter[0] - start_count) / (time.perf_counter() - t0)
+            stop.set()
+            for t in threads:
+                t.join(timeout=60)
+            print(json.dumps({
+                "metric": (f"serve_ddim{sampler_steps}_"
+                           f"{n_clients}clients_448_{wire}"),
+                "value": round(fps, 1), "unit": "frames/sec",
+                "batch_occupancy": engine.stats()["batch_occupancy"]}),
+                flush=True)
+    engine.close()
+
+
 def main():
     import tempfile
 
     args = sys.argv[1:]
     wires = [a for a in args if a in ("rgb", "i420")]
-    ckpt_args = [a for a in args if a not in ("rgb", "i420")]
+    sampler = [a for a in args if a.startswith("sampler")]
+    ckpt_args = [a for a in args
+                 if a not in ("rgb", "i420") and not a.startswith("sampler")]
     if ckpt_args:
         ckpt = ckpt_args[0]
     else:
@@ -213,6 +258,9 @@ def main():
         ckpt = make_checkpoint(tmp)
     for wire in (wires or ["rgb", "i420"]):
         bench_wire(ckpt, wire)
+    if sampler or not (wires or sampler):
+        steps = int(sampler[0][len("sampler"):]) if sampler else 10
+        bench_sampler(ckpt, steps)
 
 
 if __name__ == "__main__":
