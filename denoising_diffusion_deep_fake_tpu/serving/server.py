@@ -265,6 +265,15 @@ def _make_handler(engines: dict[str, SwapEngine]):
     return Handler
 
 
+class _SwapHTTPServer(ThreadingHTTPServer):
+    # stdlib default listen backlog is 5: a 64-client burst gets TCP
+    # connection RESETS before admission control can even answer 503
+    # (observed in the round-4 overload bench). Deep backlog + reuse so
+    # overload degrades into engine-level shedding, not kernel-level resets.
+    request_queue_size = 128
+    allow_reuse_address = True
+
+
 class SwapServer:
     """Owns the engine(s) + ThreadingHTTPServer; context-manageable.
 
@@ -277,7 +286,7 @@ class SwapServer:
             engine = {engine.identity: engine}
         self.engines = engine
         self.engine = next(iter(engine.values()))  # back-compat default
-        self.httpd = ThreadingHTTPServer((host, port), _make_handler(engine))
+        self.httpd = _SwapHTTPServer((host, port), _make_handler(engine))
         self.httpd.daemon_threads = True
         self._thread: threading.Thread | None = None
 

@@ -81,3 +81,16 @@ def test_hung_attempt_times_out(tmp_path):
     assert proc.returncode == 1
     diag = json.loads(proc.stdout.strip().splitlines()[-1])
     assert diag["attempts"][0]["reason"] == "timeout"
+
+
+def test_all_tools_compile():
+    """Every tools/ script must at least byte-compile — they are run rarely
+    (TPU-gated) so syntax/regression rot would otherwise surface only during
+    a measurement session with the chip reserved."""
+    import py_compile
+    from pathlib import Path
+
+    tools = sorted((Path(__file__).parents[1] / "tools").glob("*.py"))
+    assert len(tools) >= 10, tools
+    for path in tools:
+        py_compile.compile(str(path), doraise=True)
