@@ -51,6 +51,7 @@ class EngineStats:
     total_device_ms: float = 0.0   # dispatch->fetch wall time, device batches
     errors: int = 0
     shed_requests: int = 0         # calls rejected by admission control
+    early_shed_requests: int = 0   # subset shed BEFORE the body was read
     queue_high_water: int = 0      # max queued frames ever observed
     # Rolling window of recent device-batch times for percentile reporting.
     recent_batch_ms: list = dataclasses.field(default_factory=list)
@@ -200,6 +201,32 @@ class SwapEngine:
             out = self.swap_wire(frames)
         return out[0] if squeeze else out
 
+    def check_admission(self, n_frames: int) -> None:
+        """Advisory pre-payload admission probe (no reservation made).
+
+        HTTP front-ends call this after parsing headers but BEFORE reading
+        the request body: on the byte-bound raw-RGB wire the round-4 overload
+        bench showed the HTTP stream saturating while the queue sat below the
+        watermark (high-water 58/64) — every shed request had already cost a
+        full body read. Probing on the header alone sheds those requests for
+        the price of the request line, so overload never pays the payload.
+
+        The probe does NOT reserve capacity — ``swap_wire``'s all-or-nothing
+        check remains the authoritative admission decision (a request that
+        passes the probe can still be shed there if the queue filled while
+        its body streamed in).
+        """
+        with self._stats_lock:
+            if self._queued_frames + n_frames > self.max_queue_frames:
+                self._stats.shed_requests += 1
+                self._stats.early_shed_requests += 1
+                depth = self._queued_frames
+                retry = self._estimate_drain_s_locked(depth + n_frames)
+                raise EngineOverloadedError(
+                    f"engine overloaded: {depth} frames queued "
+                    f"(watermark {self.max_queue_frames}), retry in "
+                    f"~{retry:.1f}s", retry)
+
     def swap_wire(self, frames: np.ndarray) -> np.ndarray:
         """Swap frame stack already in the engine's wire format (see
         ``wire_frame_shape``); the zero-conversion path for clients that
@@ -292,6 +319,7 @@ class SwapEngine:
                 "queue_depth": self._queued_frames,
                 "queue_high_water": s.queue_high_water,
                 "shed_requests": s.shed_requests,
+                "early_shed_requests": s.early_shed_requests,
                 "max_queue_frames": self.max_queue_frames,
                 "batch_size": self.batch_size,
                 "identity": self.identity,

@@ -26,6 +26,13 @@ Every request thread blocks inside ``SwapEngine.swap``; the engine's
 dispatcher micro-batches concurrent requests into shared device batches, so
 throughput scales with client concurrency up to the device batch size.
 
+Overload degrades into EARLY shedding: admission is probed from the request
+headers alone (frame count comes from ``X-Shape``), so a 503 + Retry-After
+goes out before the body is read — on byte-bound wires a refused request no
+longer costs its payload upload. ``Expect: 100-continue`` clients pay zero
+body bytes on shed (the final 503 replaces the interim 100, RFC 7231
+§5.1.1); other clients get the 503 plus a connection close.
+
 No reference counterpart (SURVEY.md §5 records the serving absence); the
 image-handling semantics (center-crop geometry, BGR file convention,
 identity-crossed normalization) follow the reference video tools
@@ -121,6 +128,76 @@ def _make_handler(engines: dict[str, SwapEngine]):
                     f"{sorted(engines)}")
             return parsed.path, engine
 
+        # -------------------------------------------------- early admission
+
+        def _admission_probe(self) -> None:
+            """Shed from headers ALONE — before any body byte is read.
+
+            The round-4 overload bench showed the raw-RGB wire saturating on
+            request bytes while the queue sat below the watermark (high-water
+            58/64): every eventual shed had already cost a full body upload.
+            The frame count is recoverable from ``X-Shape`` (or is 1 for
+            ``/v1/swap``), so overload is detectable for the price of the
+            header block. Malformed headers fall through — ``do_POST``'s 400
+            path owns those.
+            """
+            path, engine = self._route()
+            if path == "/v1/swap":
+                engine.check_admission(1)
+                return
+            if path != "/v1/swap_raw":
+                return
+            shape_hdr = self.headers.get("X-Shape")
+            if not shape_hdr:
+                return
+            try:
+                shape = tuple(int(s) for s in shape_hdr.split(","))
+            except ValueError:
+                return
+            fmt = self.headers.get("X-Format", "rgb").lower()
+            n = 1
+            if fmt == "rgb" and len(shape) == 4:
+                n = shape[0]
+            elif fmt == "i420" and len(shape) == 3:
+                n = shape[0]
+            engine.check_admission(max(1, n))
+
+        def handle_expect_100(self):
+            """``Expect: 100-continue`` face of early shedding.
+
+            A well-behaved client that sends the header pays ZERO body bytes
+            on overload: the 503 (final status) replaces the interim 100, and
+            per RFC 7231 §5.1.1 the client must not transmit the body.
+            """
+            try:
+                self._admission_probe()
+            except EngineOverloadedError as e:
+                self._reply_overloaded(e, drained=False)
+                return False
+            except Exception:
+                pass  # surface routing/validation errors from do_POST
+            return super().handle_expect_100()
+
+        def _reply_overloaded(self, e: EngineOverloadedError, *,
+                              drained: bool) -> None:
+            """503 + Retry-After (drain estimate). ``drained=False`` means
+            the request body was never read — close the connection instead
+            of consuming payload bytes we refused to serve."""
+            if drained:
+                self._drain_body()
+            else:
+                self.close_connection = True
+            body = json.dumps({"error": str(e)}).encode()
+            self.send_response(503)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Retry-After",
+                             str(max(1, round(e.retry_after_s))))
+            self.send_header("Content-Length", str(len(body)))
+            if not drained:
+                self.send_header("Connection", "close")
+            self.end_headers()
+            self.wfile.write(body)
+
         # ------------------------------------------------------------- GET
 
         def do_GET(self):
@@ -153,6 +230,11 @@ def _make_handler(engines: dict[str, SwapEngine]):
             self._note_body_length()
             try:
                 path, engine = self._route()
+                # Header-only admission probe: shed BEFORE reading the body
+                # (the authoritative all-or-nothing check in swap_wire still
+                # runs after the read — the queue may fill while the body
+                # streams in).
+                self._admission_probe()
                 if path == "/v1/swap":
                     self._swap_encoded(engine)
                 elif path == "/v1/swap_raw":
@@ -164,15 +246,10 @@ def _make_handler(engines: dict[str, SwapEngine]):
             except EngineOverloadedError as e:
                 # Load shed: bounded queueing delay for admitted requests,
                 # an honest signal (with a drain estimate) for the rest.
-                self._drain_body()
-                body = json.dumps({"error": str(e)}).encode()
-                self.send_response(503)
-                self.send_header("Content-Type", "application/json")
-                self.send_header("Retry-After",
-                                 str(max(1, round(e.retry_after_s))))
-                self.send_header("Content-Length", str(len(body)))
-                self.end_headers()
-                self.wfile.write(body)
+                # A body left unread (the probe shed it) is never drained —
+                # refused requests shouldn't cost their payload bytes.
+                self._reply_overloaded(
+                    e, drained=getattr(self, "_unread_body", 0) == 0)
             except Exception as e:  # surface engine errors as 500s
                 self._reply_json(500, {"error": f"{type(e).__name__}: {e}"})
 

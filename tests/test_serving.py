@@ -453,6 +453,114 @@ def test_engine_rejects_watermark_below_batch(checkpoint):
                    max_queue_frames=2)
 
 
+def _read_http_head(sock) -> str:
+    """Read from ``sock`` until the end of one header block; return it."""
+    data = b""
+    while b"\r\n\r\n" not in data:
+        chunk = sock.recv(65536)
+        if not chunk:
+            break
+        data += chunk
+    return data.split(b"\r\n\r\n", 1)[0].decode()
+
+
+@pytest.fixture()
+def overloaded(checkpoint):
+    """A server whose engine queue sits AT the watermark behind a gate.
+
+    Yields (server, engine, gate, finish) where ``finish()`` opens the gate
+    and joins the two admitted in-flight requests, asserting both got 200s.
+    """
+    eng = SwapEngine(checkpoint, "a", height=SIZE, width=SIZE, batch_size=2,
+                     max_wait_ms=1.0, max_queue_frames=2)
+    gated = None
+    try:
+        eng.warmup()
+        gated = _GatedPipeline(eng._dispatchers[0].pipeline)
+        eng._dispatchers[0].pipeline = gated
+        with SwapServer(eng, port=0) as srv:
+            frames = np.zeros((2, SIZE, SIZE, 3), np.uint8)
+            hdrs = {"X-Shape": f"2,{SIZE},{SIZE},3"}
+            replies = []
+            threads = [threading.Thread(target=lambda: replies.append(
+                _request(srv.port, "POST", "/v1/swap_raw",
+                         body=frames.tobytes(), headers=hdrs)))
+                for _ in range(2)]
+            threads[0].start()
+            assert gated.entered.wait(timeout=30)  # batch 1 in flight
+            threads[1].start()                      # 2 frames queued (full)
+            assert _wait_for(lambda: eng.stats()["queue_depth"] == 2)
+
+            def finish():
+                gated.gate.set()
+                for t in threads:
+                    t.join(timeout=60)
+                assert [r[0] for r in replies] == [200, 200]
+
+            yield srv, eng, gated, finish
+    finally:
+        if gated is not None:
+            gated.gate.set()
+        eng.close()
+
+
+def test_server_early_sheds_without_reading_body(overloaded):
+    """Byte-bound-wire overload: the 503 must arrive from the HEADERS alone.
+
+    The raw socket announces a body (Content-Length set) but never sends a
+    byte of it — a reply arriving anyway proves the server shed without
+    reading the payload (pre-round-4 behavior blocked in ``rfile.read``
+    until the body arrived, so overload always cost the full upload)."""
+    import socket
+
+    srv, eng, _, finish = overloaded
+    nbytes = 2 * SIZE * SIZE * 3
+    with socket.create_connection(("127.0.0.1", srv.port), timeout=30) as s:
+        s.sendall((f"POST /v1/swap_raw HTTP/1.1\r\nHost: t\r\n"
+                   f"X-Shape: 2,{SIZE},{SIZE},3\r\n"
+                   f"Content-Length: {nbytes}\r\n\r\n").encode())
+        head = _read_http_head(s)
+    assert head.startswith("HTTP/1.1 503"), head
+    assert "Connection: close" in head          # unread body -> no keep-alive
+    assert "Retry-After:" in head
+    stats = eng.stats()
+    assert stats["early_shed_requests"] == 1    # shed before the read
+    assert stats["shed_requests"] == 1
+    finish()
+    # The probe made no reservation: the engine drains and serves normally.
+    assert eng.stats()["queue_depth"] == 0
+
+
+def test_server_expect_100_continue(overloaded):
+    """RFC 7231 §5.1.1 face of early shedding: an ``Expect: 100-continue``
+    client pays zero body bytes on overload (final 503 replaces the interim
+    100); once the backlog drains the same request gets 100 then 200."""
+    import socket
+
+    srv, eng, _, finish = overloaded
+    nbytes = 2 * SIZE * SIZE * 3
+    req = (f"POST /v1/swap_raw HTTP/1.1\r\nHost: t\r\n"
+           f"X-Shape: 2,{SIZE},{SIZE},3\r\n"
+           f"Content-Length: {nbytes}\r\nExpect: 100-continue\r\n\r\n")
+
+    with socket.create_connection(("127.0.0.1", srv.port), timeout=30) as s:
+        s.sendall(req.encode())
+        head = _read_http_head(s)
+    assert head.startswith("HTTP/1.1 503"), head  # NOT "100 Continue"
+    assert "Retry-After:" in head
+    assert eng.stats()["early_shed_requests"] == 1
+
+    finish()  # drain the backlog; the engine is now idle
+
+    with socket.create_connection(("127.0.0.1", srv.port), timeout=30) as s:
+        s.sendall(req.encode())
+        interim = _read_http_head(s)
+        assert interim.startswith("HTTP/1.1 100"), interim
+        s.sendall(np.zeros((2, SIZE, SIZE, 3), np.uint8).tobytes())
+        head = _read_http_head(s)
+    assert head.startswith("HTTP/1.1 200"), head
+
+
 def test_server_sheds_with_503_and_retry_after(checkpoint):
     """HTTP face of admission control: 503 + Retry-After + JSON error body;
     the connection stays usable and the engine recovers."""

@@ -79,28 +79,78 @@ def client_loop(port: int, body: bytes, headers: dict, n_frames: int,
     conn.close()
 
 
+def _read_response(reader):
+    """(status, headers, body) of one HTTP response off a buffered reader."""
+    line = reader.readline()
+    if not line:
+        raise ConnectionError("connection closed by server")
+    status = int(line.split()[1])
+    hdrs = {}
+    while True:
+        raw = reader.readline()
+        if raw in (b"\r\n", b"\n", b""):
+            break
+        key, _, val = raw.decode("latin-1").partition(":")
+        hdrs[key.strip().lower()] = val.strip()
+    body = reader.read(int(hdrs.get("content-length", 0)))
+    return status, hdrs, body
+
+
 def overload_client_loop(port: int, body: bytes, headers: dict,
                          n_frames: int, stop: threading.Event,
                          out: dict) -> None:
-    """Client that tolerates 503 shedding: counts sheds, honors Retry-After
-    (capped) and records success latencies."""
-    conn = http.client.HTTPConnection("127.0.0.1", port, timeout=120)
+    """Overload-tolerant client speaking ``Expect: 100-continue`` (raw
+    socket — http.client transmits bodies eagerly, defeating the handshake).
+
+    On overload the server sheds from the headers alone (final 503 instead
+    of the interim 100), so each shed costs this client ZERO body bytes —
+    the round-4 fix for the byte-bound raw-RGB wire where every shed
+    previously paid the full ~1.2 MB upload. Counts sheds, honors
+    Retry-After (capped), records success latencies, and tolerates
+    mid-handshake resets (server-side close racing the body) as sheds."""
+    import socket
+
+    head = ("POST /v1/swap_raw HTTP/1.1\r\nHost: bench\r\n"
+            + "".join(f"{k}: {v}\r\n" for k, v in headers.items())
+            + f"Content-Length: {len(body)}\r\nExpect: 100-continue\r\n\r\n"
+            ).encode()
+    sock = reader = None
     while not stop.is_set():
-        t0 = time.perf_counter()
-        conn.request("POST", "/v1/swap_raw", body=body, headers=headers)
-        resp = conn.getresponse()
-        resp.read()
-        dt_ms = (time.perf_counter() - t0) * 1e3
-        if resp.status == 200:
-            out["ok_frames"] += n_frames
-            out["lat_ms"].append(dt_ms)
-        elif resp.status == 503:
-            out["shed"] += 1
-            retry = float(resp.getheader("Retry-After") or 1)
-            stop.wait(min(retry, 0.5))
-        else:
-            raise AssertionError(f"unexpected status {resp.status}")
-    conn.close()
+        try:
+            if sock is None:
+                sock = socket.create_connection(("127.0.0.1", port),
+                                                timeout=120)
+                reader = sock.makefile("rb")
+            t0 = time.perf_counter()
+            sock.sendall(head)
+            status, hdrs, _ = _read_response(reader)
+            if status == 100:
+                sock.sendall(body)
+                status, hdrs, _ = _read_response(reader)
+            dt_ms = (time.perf_counter() - t0) * 1e3
+            if status == 200:
+                out["ok_frames"] += n_frames
+                out["lat_ms"].append(dt_ms)
+            elif status == 503:
+                out["shed"] += 1
+                retry = float(hdrs.get("retry-after") or 1)
+                if hdrs.get("connection", "").lower() == "close":
+                    reader.close(); sock.close(); sock = reader = None
+                stop.wait(min(retry, 0.5))
+            else:
+                raise AssertionError(f"unexpected status {status}")
+        except (OSError, ConnectionError):
+            if sock is not None:
+                try:
+                    reader.close(); sock.close()
+                except OSError:
+                    pass
+            sock = reader = None
+            out["resets"] += 1
+            stop.wait(0.05)
+    if sock is not None:
+        reader.close()
+        sock.close()
 
 
 def bench_overload(engine, port: int, wire: str, n_clients: int = 64) -> None:
@@ -111,7 +161,7 @@ def bench_overload(engine, port: int, wire: str, n_clients: int = 64) -> None:
     rng = np.random.default_rng(1)
     body, headers, n_frames = _wire_payload(rng, 2, wire)
     stop = threading.Event()
-    outs = [{"ok_frames": 0, "shed": 0, "lat_ms": []}
+    outs = [{"ok_frames": 0, "shed": 0, "resets": 0, "lat_ms": []}
             for _ in range(n_clients)]
     threads = [threading.Thread(
         target=overload_client_loop,
@@ -135,6 +185,7 @@ def bench_overload(engine, port: int, wire: str, n_clients: int = 64) -> None:
         t.join(timeout=60)
     stats = engine.stats()
     total_reqs = ok / n_frames + shed
+    resets = sum(o["resets"] for o in outs)
     print(json.dumps({
         "metric": f"serve_overload_{n_clients}clients_448_{wire}",
         "value": round(ok / elapsed, 1), "unit": "frames/sec",
@@ -143,7 +194,10 @@ def bench_overload(engine, port: int, wire: str, n_clients: int = 64) -> None:
         "p99_ok_ms": round(float(np.percentile(lat, 99)), 1),
         "queue_high_water": stats["queue_high_water"],
         "max_queue_frames": stats["max_queue_frames"],
-        "batch_occupancy": stats["batch_occupancy"]}), flush=True)
+        "batch_occupancy": stats["batch_occupancy"],
+        "early_shed_requests": stats["early_shed_requests"],
+        "shed_body_bytes_avoided": stats["early_shed_requests"] * len(body),
+        "client_resets": resets}), flush=True)
 
 
 def bench_wire(ckpt: str, wire: str) -> None:
