@@ -1,0 +1,100 @@
+"""tools/step_profile.py xplane parsing: synthetic-trace unit tests.
+
+The tool's capture half needs the real chip (`jax.profiler` over the
+tunnel); the analysis half — interval union, op categorization, per-plane
+ms/step accounting — is pure proto-walking and is pinned here against a
+hand-built XSpace so trace-report regressions fail on CPU in seconds.
+"""
+
+import sys
+from pathlib import Path
+
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+
+import step_profile  # noqa: E402
+
+xplane_pb2 = pytest.importorskip(
+    "tensorflow.tsl.profiler.protobuf.xplane_pb2")
+
+
+def test_union_ps_merges_overlaps_and_gaps():
+    assert step_profile.union_ps([]) == 0
+    assert step_profile.union_ps([(0, 10)]) == 10
+    # Overlap counted once; the gap (20, 30) not counted; touching is merged.
+    assert step_profile.union_ps([(0, 10), (5, 20), (30, 40)]) == 30
+    assert step_profile.union_ps([(0, 10), (10, 20)]) == 20
+    # Order-independent.
+    assert step_profile.union_ps([(30, 40), (0, 10), (5, 20)]) == 30
+
+
+def test_categorize_op_names():
+    assert step_profile.categorize("%convolution.42") == "convolution"
+    assert step_profile.categorize("fusion.123") == "fusion"
+    assert step_profile.categorize("loop_multiply_fusion.7") == "fusion"
+    assert step_profile.categorize("copy.3") == "copy"
+    assert step_profile.categorize("all-reduce.1") == "collective"
+    assert step_profile.categorize("dot.9") == "matmul"
+    assert step_profile.categorize("jit_step/transpose.2") == "transpose"
+    assert step_profile.categorize("weird-op.5") == "other"
+
+
+def _make_xspace(tmp_path) -> str:
+    """One TPU plane: 2 ops (overlapping fusion+conv) and 1 module event."""
+    xspace = xplane_pb2.XSpace()
+    plane = xspace.planes.add()
+    plane.name = "/device:TPU:0"
+    plane.event_metadata[1].id = 1
+    plane.event_metadata[1].name = "fusion.1"
+    plane.event_metadata[2].id = 2
+    plane.event_metadata[2].name = "%convolution.7"
+    plane.event_metadata[3].id = 3
+    plane.event_metadata[3].name = "jit_chain"
+
+    ops = plane.lines.add()
+    ops.name = "XLA Ops"
+    MS = 10**9  # 1 ms in picoseconds
+    for mid, off, dur in ((1, 0, MS), (2, MS // 2, MS), (2, 2 * MS, MS // 2)):
+        ev = ops.events.add()
+        ev.metadata_id = mid
+        ev.offset_ps = off
+        ev.duration_ps = dur
+
+    mods = plane.lines.add()
+    mods.name = "XLA Modules"
+    ev = mods.events.add()
+    ev.metadata_id = 3
+    ev.offset_ps = 0
+    ev.duration_ps = 3 * MS
+
+    # A host plane that must be ignored by the TPU filter.
+    host = xspace.planes.add()
+    host.name = "/host:CPU"
+
+    path = tmp_path / "t.xplane.pb"
+    path.write_bytes(xspace.SerializeToString())
+    return str(path)
+
+
+def test_analyze_xspace_accounting(tmp_path):
+    report = step_profile.analyze_xspace(_make_xspace(tmp_path), nsteps=1)
+    assert report["planes"] == ["/device:TPU:0", "/host:CPU"]
+    assert "/host:CPU" not in report  # filtered: no TPU/device in the name
+    dev = report["/device:TPU:0"]
+    # Ops busy = union of (0,1ms)+(0.5,1.5ms)+(2,2.5ms) = 2 ms.
+    assert dev["ops_busy_ms_per_step"] == pytest.approx(2.0)
+    assert dev["module_wall_ms_per_step"] == pytest.approx(3.0)
+    assert dev["in_module_gap_ms_per_step"] == pytest.approx(1.0)
+    # Category split: conv 1.5 ms, fusion 1 ms (sums, not unions).
+    assert dev["category_ms_per_step"]["convolution"] == pytest.approx(1.5)
+    assert dev["category_ms_per_step"]["fusion"] == pytest.approx(1.0)
+    assert dev["top_ops_ms_per_step"]["%convolution.7"] == pytest.approx(1.5)
+    assert dev["n_distinct_ops"] == 2
+
+
+def test_analyze_xspace_divides_by_nsteps(tmp_path):
+    report = step_profile.analyze_xspace(_make_xspace(tmp_path), nsteps=2)
+    dev = report["/device:TPU:0"]
+    assert dev["ops_busy_ms_per_step"] == pytest.approx(1.0)
+    assert dev["module_wall_ms_per_step"] == pytest.approx(1.5)
