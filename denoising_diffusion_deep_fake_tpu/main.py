@@ -196,18 +196,31 @@ def swap(video_path, checkpoint_path, model_a_or_b, width, height, output,
               help="Train steps to capture (first ones include compile).")
 @click.option("--trace_dir", default="profile_trace",
               help="Output dir; open with TensorBoard's profile plugin.")
-def profile(config_path, input_list, steps, trace_dir):
+@click.option("--report", is_flag=True,
+              help="Also parse the trace and print per-device op-time "
+                   "attribution (no TensorBoard needed).")
+def profile(config_path, input_list, steps, trace_dir, report):
     """Capture a jax.profiler device trace of N train steps."""
+    import json
+
     from denoising_diffusion_deep_fake_tpu.config import (
         DenoiserConfig, load_config)
     from denoising_diffusion_deep_fake_tpu.training.runners import fit_denoiser
-    from denoising_diffusion_deep_fake_tpu.utils.profiling import trace
+    from denoising_diffusion_deep_fake_tpu.utils.profiling import (
+        analyze_trace_dir, trace)
 
     cfg = load_config(DenoiserConfig, config_path,
                       overrides={"input_image_list_path": input_list})
     with trace(trace_dir):
         fit_denoiser(cfg, max_steps=steps)
     click.echo(f"trace written to {trace_dir}")
+    if report:
+        # ms figures are per traced step; the FIRST steps include compile,
+        # so treat them as attribution shares, not steady-state step times.
+        summary = analyze_trace_dir(trace_dir, nsteps=steps)
+        click.echo(json.dumps(summary if summary is not None
+                              else {"error": "no .xplane.pb captured"},
+                              indent=2))
 
 
 # ------------------------------------------------------------------ migration

@@ -7,12 +7,19 @@ profiling: absent"); the TPU-native equivalent is ``jax.profiler``:
   profile plugin or Perfetto,
 * ``annotate(name)`` — label a region so train-step phases show up in traces,
 * ``StepTimer`` — cheap wall-clock step timing with warmup discard, the
-  number the bench harness reports.
+  number the bench harness reports,
+* ``analyze_xspace`` / ``analyze_trace_dir`` — parse a captured XPlane proto
+  into a per-device report (ops-busy vs module wall, per-category op time,
+  top ops), so `d3f-tpu profile --report` and `tools/step_profile.py` read
+  traces without TensorBoard.
 """
 
 from __future__ import annotations
 
+import collections
 import contextlib
+import glob
+import re
 import time
 
 import jax
@@ -31,6 +38,129 @@ def trace(log_dir: str):
 def annotate(name: str):
     """Named trace region (shows in the profiler timeline)."""
     return jax.profiler.TraceAnnotation(name)
+
+
+# --------------------------------------------------------- trace analysis
+#
+# The reference inspects profiles by eye in TensorBoard; here the XPlane
+# proto is parsed directly so device-time attribution is scriptable (the
+# round-4 448² step-residual question is answered with this).
+
+_CATEGORY_RULES = [
+    ("convolution", "convolution"),
+    ("conv", "convolution"),
+    ("dot", "matmul"),
+    ("all-reduce", "collective"),
+    ("all-gather", "collective"),
+    ("reduce-scatter", "collective"),
+    ("collective", "collective"),
+    ("copy", "copy"),
+    ("transpose", "transpose"),
+    ("reduce-window", "reduce-window"),
+    ("select-and-scatter", "reduce-window"),
+    ("reduce", "reduce"),
+    ("scatter", "scatter"),
+    ("gather", "gather"),
+    ("dynamic", "dynamic-slice"),
+    ("rng", "rng"),
+    ("sort", "sort"),
+    ("fusion", "fusion"),
+    ("loop", "fusion"),
+    ("input", "fusion"),
+    ("output", "fusion"),
+]
+
+
+def categorize(name: str) -> str:
+    """Map an HLO op name to a coarse cost category (prefix rules)."""
+    base = name.split("/")[-1].lower()
+    base = re.sub(r"^%", "", base)
+    for prefix, cat in _CATEGORY_RULES:
+        if base.startswith(prefix):
+            return cat
+    return "other"
+
+
+def union_ps(intervals: list[tuple[int, int]]) -> int:
+    """Total covered picoseconds of possibly-overlapping intervals."""
+    total, cur_s, cur_e = 0, None, None
+    for s, e in sorted(intervals):
+        if cur_s is None:
+            cur_s, cur_e = s, e
+        elif s > cur_e:
+            total += cur_e - cur_s
+            cur_s, cur_e = s, e
+        else:
+            cur_e = max(cur_e, e)
+    if cur_s is not None:
+        total += cur_e - cur_s
+    return total
+
+
+def analyze_xspace(path: str, nsteps: int, top_k: int = 15) -> dict:
+    """Per-device report from one ``.xplane.pb``: ms/step by line, ops-busy
+    vs module-wall (union of intervals, so overlap can't double-count), the
+    in-module scheduling gap, per-category and top-k per-op device time.
+
+    ``nsteps`` divides every number (trace N chained steps in ONE jit so
+    host dispatch can't pollute in-program gaps). Non-device planes are
+    listed in ``planes`` but not analyzed.
+    """
+    from tensorflow.tsl.profiler.protobuf import xplane_pb2
+
+    xspace = xplane_pb2.XSpace()
+    with open(path, "rb") as f:
+        xspace.ParseFromString(f.read())
+
+    report: dict = {"planes": [p.name for p in xspace.planes]}
+    for plane in xspace.planes:
+        if "TPU" not in plane.name and "device" not in plane.name.lower():
+            continue
+        meta = plane.event_metadata
+        lines = {}
+        by_op: dict = collections.Counter()
+        by_cat: dict = collections.Counter()
+        ops_intervals, module_intervals = [], []
+        for line in plane.lines:
+            dur_ps = 0
+            for ev in line.events:
+                dur_ps += ev.duration_ps
+                name = meta[ev.metadata_id].name if ev.metadata_id in meta \
+                    else str(ev.metadata_id)
+                iv = (ev.offset_ps, ev.offset_ps + ev.duration_ps)
+                if line.name == "XLA Ops":
+                    by_op[name] += ev.duration_ps
+                    by_cat[categorize(name)] += ev.duration_ps
+                    ops_intervals.append(iv)
+                elif line.name == "XLA Modules":
+                    module_intervals.append(iv)
+            lines[line.name] = round(dur_ps / 1e9 / nsteps, 3)  # ms/step
+        ps_to_ms = 1e-9
+        busy_ms = union_ps(ops_intervals) * ps_to_ms / nsteps
+        module_ms = union_ps(module_intervals) * ps_to_ms / nsteps
+        report[plane.name] = {
+            "lines_ms_per_step": lines,
+            "ops_busy_ms_per_step": round(busy_ms, 3),
+            "module_wall_ms_per_step": round(module_ms, 3),
+            "in_module_gap_ms_per_step": round(module_ms - busy_ms, 3),
+            "category_ms_per_step": {
+                k: round(v * ps_to_ms / nsteps, 3)
+                for k, v in by_cat.most_common()},
+            "top_ops_ms_per_step": {
+                k: round(v * ps_to_ms / nsteps, 3)
+                for k, v in by_op.most_common(top_k)},
+            "n_distinct_ops": len(by_op),
+        }
+    return report
+
+
+def analyze_trace_dir(trace_dir: str, nsteps: int = 1,
+                      top_k: int = 15) -> dict | None:
+    """Analyze the first ``.xplane.pb`` under ``trace_dir`` (None if none)."""
+    paths = sorted(glob.glob(f"{trace_dir}/**/*.xplane.pb", recursive=True))
+    if not paths:
+        return None
+    return analyze_xspace(paths[0], nsteps, top_k=top_k)
 
 
 class StepTimer:

@@ -116,7 +116,10 @@ checkpoint_dir: {tmp_path}/ckpt
     trace_dir = tmp_path / "trace"
     result = CliRunner().invoke(cli, [
         "profile", "--config", str(cfg), "--input_list", str(manifest),
-        "--steps", "2", "--trace_dir", str(trace_dir)])
+        "--steps", "2", "--trace_dir", str(trace_dir), "--report"])
     assert result.exit_code == 0, result.output
     traces = list(trace_dir.rglob("*.xplane.pb"))
     assert traces, f"no trace files under {trace_dir}"
+    # --report parses the capture without TensorBoard: the plane listing
+    # must appear on stdout (device-plane analysis needs real TPU planes).
+    assert '"planes"' in result.output, result.output

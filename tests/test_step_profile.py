@@ -1,19 +1,14 @@
-"""tools/step_profile.py xplane parsing: synthetic-trace unit tests.
+"""Trace-analysis (`utils/profiling.py` xplane parsing) unit tests.
 
-The tool's capture half needs the real chip (`jax.profiler` over the
-tunnel); the analysis half — interval union, op categorization, per-plane
+The capture half (`tools/step_profile.py`, `d3f-tpu profile`) needs the
+real chip; the analysis half — interval union, op categorization, per-plane
 ms/step accounting — is pure proto-walking and is pinned here against a
 hand-built XSpace so trace-report regressions fail on CPU in seconds.
 """
 
-import sys
-from pathlib import Path
-
 import pytest
 
-sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
-
-import step_profile  # noqa: E402
+from denoising_diffusion_deep_fake_tpu.utils import profiling as step_profile
 
 xplane_pb2 = pytest.importorskip(
     "tensorflow.tsl.profiler.protobuf.xplane_pb2")

@@ -24,10 +24,8 @@ Defaults: 448 16 swap 3 (the reference's `denoise_config.yml:13-14` shape).
 
 from __future__ import annotations
 
-import collections
 import glob
 import json
-import re
 import sys
 import tempfile
 from pathlib import Path
@@ -37,6 +35,8 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 import jax
 import numpy as np
 
+from denoising_diffusion_deep_fake_tpu.utils.profiling import (  # noqa: F401
+    analyze_xspace, categorize, union_ps)
 from denoising_diffusion_deep_fake_tpu.utils.timing import value_barrier
 
 
@@ -71,105 +71,6 @@ def build_chain(size: int, batch: int, workload: str, nsteps: int):
         return s["a"].params, m[loss_key]
 
     return chain
-
-
-_CATEGORY_RULES = [
-    ("convolution", "convolution"),
-    ("conv", "convolution"),
-    ("dot", "matmul"),
-    ("all-reduce", "collective"),
-    ("all-gather", "collective"),
-    ("reduce-scatter", "collective"),
-    ("collective", "collective"),
-    ("copy", "copy"),
-    ("transpose", "transpose"),
-    ("reduce-window", "reduce-window"),
-    ("select-and-scatter", "reduce-window"),
-    ("reduce", "reduce"),
-    ("scatter", "scatter"),
-    ("gather", "gather"),
-    ("dynamic", "dynamic-slice"),
-    ("rng", "rng"),
-    ("sort", "sort"),
-    ("fusion", "fusion"),
-    ("loop", "fusion"),
-    ("input", "fusion"),
-    ("output", "fusion"),
-]
-
-
-def categorize(name: str) -> str:
-    base = name.split("/")[-1].lower()
-    base = re.sub(r"^%", "", base)
-    for prefix, cat in _CATEGORY_RULES:
-        if base.startswith(prefix):
-            return cat
-    return "other"
-
-
-def union_ps(intervals: list[tuple[int, int]]) -> int:
-    """Total covered picoseconds of possibly-overlapping intervals."""
-    total, cur_s, cur_e = 0, None, None
-    for s, e in sorted(intervals):
-        if cur_s is None:
-            cur_s, cur_e = s, e
-        elif s > cur_e:
-            total += cur_e - cur_s
-            cur_s, cur_e = s, e
-        else:
-            cur_e = max(cur_e, e)
-    if cur_s is not None:
-        total += cur_e - cur_s
-    return total
-
-
-def analyze_xspace(path: str, nsteps: int, top_k: int = 15) -> dict:
-    from tensorflow.tsl.profiler.protobuf import xplane_pb2
-
-    xspace = xplane_pb2.XSpace()
-    with open(path, "rb") as f:
-        xspace.ParseFromString(f.read())
-
-    report: dict = {"planes": [p.name for p in xspace.planes]}
-    for plane in xspace.planes:
-        if "TPU" not in plane.name and "device" not in plane.name.lower():
-            continue
-        meta = plane.event_metadata
-        lines = {}
-        by_op: dict = collections.Counter()
-        by_cat: dict = collections.Counter()
-        ops_intervals, module_intervals = [], []
-        for line in plane.lines:
-            dur_ps = 0
-            for ev in line.events:
-                dur_ps += ev.duration_ps
-                name = meta[ev.metadata_id].name if ev.metadata_id in meta \
-                    else str(ev.metadata_id)
-                iv = (ev.offset_ps, ev.offset_ps + ev.duration_ps)
-                if line.name == "XLA Ops":
-                    by_op[name] += ev.duration_ps
-                    by_cat[categorize(name)] += ev.duration_ps
-                    ops_intervals.append(iv)
-                elif line.name == "XLA Modules":
-                    module_intervals.append(iv)
-            lines[line.name] = round(dur_ps / 1e9 / nsteps, 3)  # ms/step
-        ps_to_ms = 1e-9
-        busy_ms = union_ps(ops_intervals) * ps_to_ms / nsteps
-        module_ms = union_ps(module_intervals) * ps_to_ms / nsteps
-        report[plane.name] = {
-            "lines_ms_per_step": lines,
-            "ops_busy_ms_per_step": round(busy_ms, 3),
-            "module_wall_ms_per_step": round(module_ms, 3),
-            "in_module_gap_ms_per_step": round(module_ms - busy_ms, 3),
-            "category_ms_per_step": {
-                k: round(v * ps_to_ms / nsteps, 3)
-                for k, v in by_cat.most_common()},
-            "top_ops_ms_per_step": {
-                k: round(v * ps_to_ms / nsteps, 3)
-                for k, v in by_op.most_common(top_k)},
-            "n_distinct_ops": len(by_op),
-        }
-    return report
 
 
 def main():
