@@ -453,6 +453,54 @@ def test_engine_rejects_watermark_below_batch(checkpoint):
                    max_queue_frames=2)
 
 
+def test_engine_check_admission_contract(checkpoint):
+    """The pre-payload probe's API contract (any front-end, not just HTTP):
+    passes below the watermark WITHOUT reserving capacity, sheds above it
+    with a positive drain estimate, and counts early sheds separately."""
+    from denoising_diffusion_deep_fake_tpu.serving import EngineOverloadedError
+
+    eng = SwapEngine(checkpoint, "a", height=SIZE, width=SIZE, batch_size=2,
+                     max_wait_ms=1.0, max_queue_frames=2)
+    try:
+        eng.warmup()
+        # Empty queue: repeated probes pass and reserve NOTHING — a real
+        # call is still admitted afterwards.
+        for _ in range(10):
+            eng.check_admission(2)
+        assert eng.stats()["queue_depth"] == 0
+        out = eng.swap(np.zeros((2, SIZE, SIZE, 3), np.uint8))
+        assert out.shape == (2, SIZE, SIZE, 3)
+
+        # Force the queue to the watermark behind a gate; the probe sheds.
+        gated = _GatedPipeline(eng._dispatchers[0].pipeline)
+        eng._dispatchers[0].pipeline = gated
+        frames = np.zeros((2, SIZE, SIZE, 3), np.uint8)
+        results = []
+        threads = [threading.Thread(
+            target=lambda: results.append(eng.swap(frames)))
+            for _ in range(2)]
+        threads[0].start()
+        assert gated.entered.wait(timeout=30)
+        threads[1].start()
+        assert _wait_for(lambda: eng.stats()["queue_depth"] == 2)
+
+        with pytest.raises(EngineOverloadedError) as exc:
+            eng.check_admission(1)
+        assert exc.value.retry_after_s > 0
+        stats = eng.stats()
+        assert stats["early_shed_requests"] == 1
+        assert stats["shed_requests"] == 1       # early sheds count as sheds
+
+        gated.gate.set()
+        for t in threads:
+            t.join(timeout=60)
+        assert len(results) == 2                 # probes cost admitted calls
+        assert eng.stats()["queue_depth"] == 0   # nothing -- fully drained
+    finally:
+        gated.gate.set()
+        eng.close()
+
+
 def _read_http_head(sock) -> str:
     """Read from ``sock`` until the end of one header block; return it."""
     data = b""
