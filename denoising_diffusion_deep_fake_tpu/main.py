@@ -287,9 +287,13 @@ def export_ckpt(checkpoint_dir, output_path, step):
 @click.option("--max_queue_frames", type=int, default=None,
               help="Admission watermark: queued frames beyond this shed with "
                    "503 + Retry-After (default 8 batches per replica).")
+@click.option("--check", is_flag=True, default=False,
+              help="Deployment validation: restore + compile + one device "
+                   "round-trip per engine, print stats JSON, exit. "
+                   "Does not listen.")
 def serve(checkpoint_path, model_a_or_b, host, port, width, height,
           batch_size, max_wait_ms, sampler_steps, use_ema, transfer, devices,
-          max_queue_frames):
+          max_queue_frames, check):
     """Long-running face-swap inference server (HTTP, micro-batched)."""
     from denoising_diffusion_deep_fake_tpu.serving.server import run_server
 
@@ -297,7 +301,7 @@ def serve(checkpoint_path, model_a_or_b, host, port, width, height,
                height=height, width=width, batch_size=batch_size,
                use_ema=use_ema, sampler_steps=sampler_steps,
                max_wait_ms=max_wait_ms, transfer=transfer, devices=devices,
-               max_queue_frames=max_queue_frames)
+               max_queue_frames=max_queue_frames, check=check)
 
 
 if __name__ == "__main__":

@@ -403,12 +403,16 @@ def run_server(checkpoint_path, identity: str, *, host: str = "0.0.0.0",
                sampler_steps: int = 0, max_wait_ms: float = 5.0,
                transfer: str = "rgb", devices: int = 1,
                max_queue_frames: int | None = None,
-               verbose: bool = True) -> None:
+               verbose: bool = True, check: bool = False) -> None:
     """CLI entry: load, warm up (compile), then serve until interrupted.
 
     ``identity="both"`` serves a AND b from the one checkpoint (two engines,
     two compiled pipelines); clients pick with ``?identity=``. ``transfer=
-    "i420"`` halves host<->device bytes (byte-bound hosts ~double fps)."""
+    "i420"`` halves host<->device bytes (byte-bound hosts ~double fps).
+    ``check=True`` stops after warmup: the deployment-validation mode —
+    restore + compile + one device round-trip per engine, print each
+    engine's stats JSON, exit 0. Nothing listens, so it is safe on a host
+    where the real server (or another validation) is already running."""
     identities = ["a", "b"] if identity == "both" else [identity]
     engines = {}
     for name in identities:
@@ -424,6 +428,12 @@ def run_server(checkpoint_path, identity: str, *, host: str = "0.0.0.0",
         secs = engines[name].warmup()
         if verbose:
             print(f"  '{name}' ready in {secs:.1f}s", flush=True)
+    if check:
+        for name, eng in engines.items():
+            print(json.dumps({"engine": name, "serve_check": "ok",
+                              **eng.stats()}), flush=True)
+            eng.close()
+        return
     server = SwapServer(engines, host=host, port=port)
     if verbose:
         print(f"serving identit{'ies' if len(engines) > 1 else 'y'} "

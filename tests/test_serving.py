@@ -453,6 +453,25 @@ def test_engine_rejects_watermark_below_batch(checkpoint):
                    max_queue_frames=2)
 
 
+def test_serve_cli_check_mode(checkpoint):
+    """`d3f-tpu serve --check` validates a deployment end to end (restore +
+    compile + device round-trip) and exits 0 without listening."""
+    from click.testing import CliRunner
+
+    from denoising_diffusion_deep_fake_tpu.main import cli
+
+    result = CliRunner().invoke(cli, [
+        "serve", str(checkpoint), "a", "--width", str(SIZE),
+        "--height", str(SIZE), "--batch_size", "2", "--check"])
+    assert result.exit_code == 0, result.output
+    stats_line = [line for line in result.output.splitlines()
+                  if line.startswith("{")][-1]
+    stats = json.loads(stats_line)
+    assert stats["serve_check"] == "ok" and stats["engine"] == "a"
+    assert stats["frames"] >= 1          # the warmup round-trip really ran
+    assert stats["frame_shape"] == [SIZE, SIZE, 3]
+
+
 def test_engine_check_admission_contract(checkpoint):
     """The pre-payload probe's API contract (any front-end, not just HTTP):
     passes below the watermark WITHOUT reserving capacity, sheds above it
