@@ -628,6 +628,42 @@ def test_server_expect_100_continue(overloaded):
     assert head.startswith("HTTP/1.1 200"), head
 
 
+def test_server_post_read_shed_keeps_connection(overloaded):
+    """The authoritative in-``swap_wire`` check (probe passed, queue filled
+    while the body streamed in): the body was fully read, so the 503 must
+    NOT close the connection — the same keep-alive socket serves a 200
+    after the backlog drains."""
+    import http.client
+
+    srv, eng, _, finish = overloaded
+    eng.check_admission = lambda n: None   # force the post-read path
+    frames = np.zeros((2, SIZE, SIZE, 3), np.uint8)
+    hdrs = {"X-Shape": f"2,{SIZE},{SIZE},3"}
+
+    conn = http.client.HTTPConnection("127.0.0.1", srv.port, timeout=60)
+    try:
+        conn.request("POST", "/v1/swap_raw", body=frames.tobytes(),
+                     headers=hdrs)
+        resp = conn.getresponse()
+        body = resp.read()
+        assert resp.status == 503, body
+        assert resp.getheader("Retry-After") is not None
+        assert (resp.getheader("Connection") or "").lower() != "close"
+        stats = eng.stats()
+        assert stats["shed_requests"] == 1
+        assert stats["early_shed_requests"] == 0   # probe was disabled
+
+        finish()                                    # drain the backlog
+        # SAME connection: keep-alive survived the drained 503.
+        conn.request("POST", "/v1/swap_raw", body=frames.tobytes(),
+                     headers=hdrs)
+        resp = conn.getresponse()
+        out = resp.read()
+        assert resp.status == 200 and len(out) == frames.nbytes
+    finally:
+        conn.close()
+
+
 def test_server_sheds_with_503_and_retry_after(checkpoint):
     """HTTP face of admission control: 503 + Retry-After + JSON error body;
     the connection stays usable and the engine recovers."""
