@@ -120,6 +120,17 @@ class BaseConfig:
     # workload has no augmentation chain and ignores these.
     color_jitter: tuple = (0.0, 0.0, 0.0, 0.0)
     color_jitter_p: float = 1.0
+    # Host-dispatch amortization: how many train steps one dispatched
+    # program runs (``lax.scan`` over k stacked batches — see
+    # training/multi_step.py). Per-step PRNG keys derive from ``state.step``
+    # inside the step, so a k-step program is step-for-step identical to k
+    # single dispatches; only dispatch count and metric-fetch count change.
+    # Pays on high-latency host links (this TPU tunnel: ~1.5-3 ms/dispatch,
+    # BASELINE.md "performance characterization") and with
+    # ``data_cache: device`` (zero upload bytes -> dispatch is the whole
+    # loop overhead). Logging cadence and checkpoint cadence are preserved;
+    # image-panel steps and epoch tails fall back to single-step programs.
+    steps_per_call: int = 1
     # MXU input precision for matmuls/convs (jax.default_matmul_precision):
     #   auto (default): "highest" when compute_dtype is float32 — the TPU
     #   backend otherwise rounds fp32 conv inputs to one-pass bf16, which
@@ -195,6 +206,8 @@ class BaseConfig:
                 f"unknown matmul_precision {self.matmul_precision!r}")
         if self.remat not in ("none", "dots", "full"):
             raise ValueError(f"unknown remat policy {self.remat!r}")
+        if self.steps_per_call < 1:
+            raise ValueError("steps_per_call must be >= 1")
         if len(tuple(self.color_jitter)) != 4:
             raise ValueError(
                 "color_jitter must be (brightness, contrast, saturation, "

@@ -172,13 +172,18 @@ class LoopContext:
 
     def log_step(self, metrics: dict[str, Any],
                  images: dict[str, Any] | None = None,
-                 states=None, rng=None) -> None:
+                 states=None, rng=None, *, n_steps: int = 1) -> None:
+        """Queue one step's metrics — or a K-step group's (``n_steps=k``,
+        the superstep path: metric leaves carry a leading ``(k,)`` axis and
+        the worker fans them out to per-step TB rows, steps
+        ``global_step..global_step+k-1``, after ONE stacked fetch)."""
         self._raise_if_diverged(states, rng)
         step = self.global_step
-        due = step % self.cfg.log_every_n_steps == 0
+        every = self.cfg.log_every_n_steps
+        due = any((step + j) % every == 0 for j in range(n_steps))
         if due or images:
             item = (step, float(self.epoch), metrics if due else None,
-                    images if self.primary else None)
+                    images if self.primary else None, n_steps)
             if self._sync_metrics:
                 # Lockstep guarding (multi-process): fetch + NaN-check here,
                 # on every host, so a divergence raises at the same step on
@@ -233,57 +238,79 @@ class LoopContext:
                 return
 
     def _log_metric_items(self, items: list) -> None:
-        scalar_items = [(s, e, m) for s, e, m, _ in items if m is not None]
-        fetched_all = self._fetch_scalar_batch([m for _, _, m in scalar_items])
-        for (step, epoch, _), fetched in zip(scalar_items, fetched_all):
-            bad = [k for k, v in fetched.items() if not math.isfinite(v)]
-            if bad:
-                self._diverged = [step, bad]
-                return  # skip logging this and later queued steps
-            fetched["epoch"] = epoch
-            if self.primary:
-                self.tb.log_scalars(fetched, step)
-        for step, _, _, images in items:
+        scalar_items = [(s, e, m, n) for s, e, m, _, n in items
+                        if m is not None]
+        fetched_all = self._fetch_scalar_batch(
+            [m for _, _, m, _ in scalar_items])
+        every = self.cfg.log_every_n_steps
+        for (step, epoch, _, n), fetched in zip(scalar_items, fetched_all):
+            # ``fetched`` leaves are 1-d: length n for a superstep group
+            # (one row per sub-step), length 1 for a single step. EVERY
+            # fetched value is NaN-guarded, including sub-steps that the
+            # logging cadence would skip — divergence mid-group surfaces at
+            # its true step.
+            for j in range(n):
+                row = {}
+                bad = []
+                for key, vec in fetched.items():
+                    v = float(vec[j] if vec.shape[0] > 1 else vec[0])
+                    if not math.isfinite(v):
+                        bad.append(key)
+                    row[key] = v
+                if bad:
+                    self._diverged = [step + j, bad]
+                    return  # skip logging this and later queued steps
+                if (step + j) % every == 0:
+                    row["epoch"] = epoch
+                    if self.primary:
+                        self.tb.log_scalars(row, step + j)
+        for step, _, _, images, _ in items:
             if images:
                 for tag, batch in _host_local(images).items():
                     self.tb.log_batch_as_image_grid(tag, batch, step)
 
     @staticmethod
     def _fetch_scalar_batch(metric_dicts: list[dict[str, Any]]
-                            ) -> list[dict[str, float]]:
-        """Fetch many dicts of device scalars with as few transfers as
-        possible.
+                            ) -> list[dict[str, Any]]:
+        """Fetch many dicts of device scalars (or ``(k,)`` superstep metric
+        vectors) with as few transfers as possible; every returned leaf is a
+        1-d numpy array.
 
         Each value fetch is a full tunnel round trip (~1.5-3 ms) that also
         occupies the link the prefetch uploads need, so K steps x M scalars
         cost ~K*M round trips fetched naively. Single-process,
-        all-addressable metrics are stacked into ONE device vector (a cached
-        tiny program) and fetched once for the whole batch of steps;
-        multi-process (non-addressable leaves — stacking would raise) falls
-        back to per-leaf addressable-shard reads.
+        all-addressable, shape-uniform metrics are stacked into ONE device
+        array (a cached tiny program) and fetched once for the whole batch
+        of steps; multi-process (non-addressable leaves — stacking would
+        raise) and mixed single/superstep backlogs fall back to per-leaf
+        addressable-shard reads.
         """
+        import numpy as np
+
         import jax.numpy as jnp
 
         leaves = [x for m in metric_dicts for x in m.values()]
-        packable = (jax.process_count() == 1 and len(leaves) > 1 and all(
-            getattr(x, "ndim", None) == 0
+        sizes = {int(np.prod(getattr(x, "shape", ()) or (1,)))
+                 for x in leaves}
+        packable = (jax.process_count() == 1 and len(leaves) > 1
+                    and len(sizes) == 1 and all(
+            getattr(x, "ndim", None) in (0, 1)
             and getattr(x, "is_fully_addressable", True) for x in leaves))
         if packable:
-            import numpy as np
-
-            # Pad to a power-of-two operand count: XLA caches one concat
+            # Pad to a power-of-two operand count: XLA caches one stack
             # program per bucket instead of one per distinct backlog length.
-            dev = [jnp.asarray(x, jnp.float32) for x in leaves]
+            dev = [jnp.ravel(jnp.asarray(x, jnp.float32)) for x in leaves]
             bucket = 1 << (len(dev) - 1).bit_length()
             dev += [dev[0]] * (bucket - len(dev))
-            packed = np.asarray(jnp.stack(dev))
+            packed = np.asarray(jnp.stack(dev))  # (bucket, size)
             out, i = [], 0
             for m in metric_dicts:
-                out.append({k: float(packed[i + j])
+                out.append({k: packed[i + j]
                             for j, k in enumerate(m.keys())})
                 i += len(m)
             return out
-        return [{k: float(v) for k, v in _host_local(m).items()}
+        return [{k: np.atleast_1d(np.asarray(v))
+                 for k, v in _host_local(m).items()}
                 for m in metric_dicts]
 
     def drain_metrics(self, states=None, rng=None) -> None:

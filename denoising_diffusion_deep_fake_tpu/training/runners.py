@@ -103,21 +103,129 @@ def _device_cache(cfg, mesh, *loaders):
 
 
 def _build_steps(cfg, mesh, trainer, *loaders, paired: bool = False):
-    """(caches, step_plain, step_img, cached_spe) — one place that decides
-    between the host-loader step pair and the device-cache step pair."""
+    """(caches, steps, cached_spe) — one place that decides between the
+    host-loader step set and the device-cache step set. ``steps`` is a
+    ``_StepSet``: the single-step pair plus (when ``steps_per_call > 1``)
+    the K-step superstep program (training/multi_step.py)."""
+    import functools as _ft
+
+    k = getattr(cfg, "steps_per_call", 1)
+    core = _ft.partial(trainer._train_step, with_images=False)
     caches = _device_cache(cfg, mesh, *loaders)
     if caches:
         from denoising_diffusion_deep_fake_tpu.training.cached import (
             cached_steps_for)
+        from denoising_diffusion_deep_fake_tpu.training.multi_step import (
+            make_cached_super_step)
 
         # Multi-loader (paired) epoch length is the shorter identity's —
         # PairedLoader semantics.
         spe = min(c.steps_per_epoch for c in caches)
+        sharded = any(c.sharded for c in caches)
         plain, img = cached_steps_for(trainer, spe, paired=paired, mesh=mesh,
-                                      sharded=any(c.sharded for c in caches))
-        return caches, plain, img, spe
-    return (None, trainer.make_train_step(with_images=False),
-            trainer.make_train_step(with_images=True, donate=False), None)
+                                      sharded=sharded)
+        super_step = (make_cached_super_step(
+            core, k, trainer.cfg.batch_size, spe, paired=paired, mesh=mesh,
+            sharded=sharded) if k > 1 else None)
+        # Cached supersteps take the SAME epoch-constant operands as the
+        # single step (state.step drives the in-jit gather), so the stream
+        # flag is False: one group consumes k stream items but passes one.
+        return caches, _StepSet(plain, img, super_step, k, False), spe
+    from denoising_diffusion_deep_fake_tpu.training.multi_step import (
+        make_super_step)
+
+    super_step = (make_super_step(core, k, n_batch_args=2 if paired else 1)
+                  if k > 1 else None)
+    return (None, _StepSet(trainer.make_train_step(with_images=False),
+                           trainer.make_train_step(with_images=True,
+                                                   donate=False),
+                           super_step, k, True), None)
+
+
+class _StepSet:
+    """The compiled step programs one workload loop drives."""
+
+    def __init__(self, plain, img, super_step, k: int, super_stream: bool):
+        self.plain = plain
+        self.img = img
+        self.super = super_step
+        self.k = k
+        self.super_stream = super_stream  # True: a group feeds k distinct
+        #                                   batches; False (cached): the
+        #                                   epoch-constant args, passed once.
+
+
+def _drive_epoch(ctx: LoopContext, states, rng, batches, steps: _StepSet,
+                 *, step_callback, max_steps, verbose):
+    """Run one epoch's batch stream through the step programs.
+
+    Returns ``(states, done)``. With ``steps.super`` set, groups of
+    ``steps.k`` consecutive steps run as ONE dispatched program whenever no
+    image logging is due and a full group fits before ``max_steps``; image
+    steps, epoch tails, and max_steps remainders fall back to the
+    single-step programs (a bounded set of compiles — group size never
+    varies). ``step_callback`` fires once per dispatched program: per step
+    on the single path (unchanged contract), once per group with the
+    stacked ``(k,)`` metrics on the superstep path."""
+    done = False
+    it = iter(batches)
+    buffered: list = []  # epoch-tail items that failed to fill a group
+    while not done:
+        if buffered:
+            step_args = buffered.pop(0)
+        else:
+            try:
+                step_args = next(it)
+            except StopIteration:
+                break
+        want_img = ctx.want_images()
+        remaining = (None if max_steps is None
+                     else max_steps - ctx.global_step)
+        if (steps.super is not None and not want_img and not buffered
+                and (remaining is None or remaining >= steps.k)):
+            group = [step_args]
+            while len(group) < steps.k:
+                try:
+                    group.append(next(it))
+                except StopIteration:
+                    break
+            if len(group) == steps.k:
+                if steps.super_stream:
+                    flat = [x for pos in zip(*group) for x in pos]
+                else:
+                    flat = list(group[0])
+                states, metrics = steps.super(states, *flat, rng)
+                ctx.log_step(metrics, states=states, rng=rng,
+                             n_steps=steps.k)
+                ctx.global_step += steps.k
+                if step_callback is not None:
+                    step_callback(ctx.global_step, states, metrics)
+                done = _post_step(ctx, states, rng, max_steps, verbose)
+                continue
+            # Short group (epoch tail): run what we pulled as singles.
+            step_args, *rest = group
+            buffered.extend(rest)
+        if want_img:
+            states, metrics, images = steps.img(states, *step_args, rng)
+            ctx.log_step(metrics, images, states=states, rng=rng)
+        else:
+            states, metrics = steps.plain(states, *step_args, rng)
+            ctx.log_step(metrics, states=states, rng=rng)
+        ctx.global_step += 1
+        if step_callback is not None:
+            step_callback(ctx.global_step, states, metrics)
+        done = _post_step(ctx, states, rng, max_steps, verbose)
+    return states, done
+
+
+def _post_step(ctx: LoopContext, states, rng, max_steps, verbose) -> bool:
+    """Per-dispatch bookkeeping shared by all three workload loops."""
+    ctx.maybe_checkpoint(states, rng)
+    if ctx.preempted():
+        if verbose and is_primary():
+            print("preemption signal received — saving and exiting")
+        return True
+    return max_steps is not None and ctx.global_step >= max_steps
 
 
 def _cached_batches(caches, spe: int, epoch: int):
@@ -213,7 +321,7 @@ def fit_deep_fake(cfg: DeepFakeConfig, *, resume_from: str | None = None,
         states = trainer.init_states(rng)
 
     states = shard_state(states, mesh)
-    caches, step_plain, step_img, cached_spe = _build_steps(
+    caches, steps, cached_spe = _build_steps(
         cfg, mesh, trainer, loader_a, loader_b, paired=True)
 
     done = False
@@ -226,29 +334,12 @@ def fit_deep_fake(cfg: DeepFakeConfig, *, resume_from: str | None = None,
                 batches = ((ba, bb) for (ba, _), (bb, _) in device_prefetch(
                     paired.epoch(epoch), mesh, spatial=_spatial(cfg),
                     upload_format=_upload_format(cfg)))
-            for step_args in batches:
-                # Per-step key derivation happens inside the jitted step
-                # (from state.step) — no host device-op per iteration; batch
-                # uploads happen ahead on the prefetch thread.
-                if ctx.want_images():
-                    states, metrics, images = step_img(states, *step_args,
-                                                       rng)
-                    ctx.log_step(metrics, images, states=states, rng=rng)
-                else:
-                    states, metrics = step_plain(states, *step_args, rng)
-                    ctx.log_step(metrics, states=states, rng=rng)
-                ctx.global_step += 1
-                if step_callback is not None:
-                    step_callback(ctx.global_step, states, metrics)
-                ctx.maybe_checkpoint(states, rng)
-                if ctx.preempted():
-                    if verbose and is_primary():
-                        print("preemption signal received — saving and exiting")
-                    done = True
-                    break
-                if max_steps is not None and ctx.global_step >= max_steps:
-                    done = True
-                    break
+            # Per-step key derivation happens inside the jitted step (from
+            # state.step) — no host device-op per iteration; batch uploads
+            # happen ahead on the prefetch thread.
+            states, done = _drive_epoch(ctx, states, rng, batches, steps,
+                                        step_callback=step_callback,
+                                        max_steps=max_steps, verbose=verbose)
             ctx.maybe_checkpoint(states, rng, force=True)  # 'last' each epoch
             if done:
                 break
@@ -281,8 +372,7 @@ def fit_denoiser(cfg: DenoiserConfig, *, max_steps: int | None = None,
     ctx = LoopContext(cfg, hparams, workload="denoiser", primary=is_primary())
     rng = jax.random.PRNGKey(cfg.seed)
     state = shard_state(trainer.init_state(rng), mesh)
-    caches, step_plain, step_img, cached_spe = _build_steps(
-        cfg, mesh, trainer, loader)
+    caches, steps, cached_spe = _build_steps(cfg, mesh, trainer, loader)
 
     done = False
     with _abort_on_error(ctx):
@@ -294,25 +384,9 @@ def fit_denoiser(cfg: DenoiserConfig, *, max_steps: int | None = None,
                 batches = ((batch,) for batch, _ in device_prefetch(
                     loader.epoch(epoch), mesh, spatial=_spatial(cfg),
                     upload_format=_upload_format(cfg)))
-            for step_args in batches:
-                if ctx.want_images():
-                    state, metrics, images = step_img(state, *step_args, rng)
-                    ctx.log_step(metrics, images, states=state, rng=rng)
-                else:
-                    state, metrics = step_plain(state, *step_args, rng)
-                    ctx.log_step(metrics, states=state, rng=rng)
-                ctx.global_step += 1
-                if step_callback is not None:
-                    step_callback(ctx.global_step, state, metrics)
-                ctx.maybe_checkpoint(state, rng)
-                if ctx.preempted():
-                    if verbose and is_primary():
-                        print("preemption signal received — saving and exiting")
-                    done = True
-                    break
-                if max_steps is not None and ctx.global_step >= max_steps:
-                    done = True
-                    break
+            state, done = _drive_epoch(ctx, state, rng, batches, steps,
+                                       step_callback=step_callback,
+                                       max_steps=max_steps, verbose=verbose)
             ctx.maybe_checkpoint(state, rng, force=True)
             if done:
                 break
@@ -351,8 +425,7 @@ def fit_balance(cfg: BalanceConfig, *, max_steps: int | None = None,
     ctx = LoopContext(cfg, hparams, workload="balance", primary=is_primary())
     rng = jax.random.PRNGKey(cfg.seed)
     state = shard_state(trainer.init_state(rng), mesh)
-    caches, step_plain, step_img, cached_spe = _build_steps(
-        cfg, mesh, trainer, loader)
+    caches, steps, cached_spe = _build_steps(cfg, mesh, trainer, loader)
 
     done = False
     with _abort_on_error(ctx):
@@ -364,25 +437,9 @@ def fit_balance(cfg: BalanceConfig, *, max_steps: int | None = None,
                 batches = ((batch,) for batch, _ in device_prefetch(
                     loader.epoch(epoch), mesh, spatial=_spatial(cfg),
                     upload_format=_upload_format(cfg)))
-            for step_args in batches:
-                if ctx.want_images():
-                    state, metrics, images = step_img(state, *step_args, rng)
-                    ctx.log_step(metrics, images, states=state, rng=rng)
-                else:
-                    state, metrics = step_plain(state, *step_args, rng)
-                    ctx.log_step(metrics, states=state, rng=rng)
-                ctx.global_step += 1
-                if step_callback is not None:
-                    step_callback(ctx.global_step, state, metrics)
-                ctx.maybe_checkpoint(state, rng)
-                if ctx.preempted():
-                    if verbose and is_primary():
-                        print("preemption signal received — saving and exiting")
-                    done = True
-                    break
-                if max_steps is not None and ctx.global_step >= max_steps:
-                    done = True
-                    break
+            state, done = _drive_epoch(ctx, state, rng, batches, steps,
+                                       step_callback=step_callback,
+                                       max_steps=max_steps, verbose=verbose)
 
             # Validation: per-image difficulty scores -> classes -> histogram.
             # Validation keys live in a disjoint fold-in range from train

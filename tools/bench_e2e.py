@@ -67,7 +67,8 @@ class StepTimer:
         if step == self.warm or step == self.last:
             # Fetch a VALUE: completes only once this step's compute (and
             # everything queued before it) is done — the honest barrier.
-            float(next(iter(metrics.values())))
+            # (np.ravel: superstep callbacks deliver stacked (k,) metrics.)
+            float(np.ravel(np.asarray(next(iter(metrics.values()))))[-1])
             if step == self.warm:
                 self.t0 = time.perf_counter()
             else:
@@ -78,8 +79,17 @@ class StepTimer:
         return (self.t1 - self.t0) / (self.last - self.warm)
 
 
+def _align(warm: int, steps: int, k: int) -> tuple[int, int]:
+    """Superstep groups fire the step callback at multiples of k — align the
+    timer's two sample points so it still triggers."""
+    if k <= 1:
+        return warm, steps
+    return max(k, (warm + k - 1) // k * k), max(2 * k, steps // k * k)
+
+
 def bench_e2e_denoiser(batch=256, size=64, steps=120, warm=20, n_images=1024,
-                       log_every=1, upload="rgb", data_cache="host"):
+                       log_every=1, upload="rgb", data_cache="host",
+                       steps_per_call=1):
     from denoising_diffusion_deep_fake_tpu.config import (
         DenoiserConfig, config_from_dict)
     from denoising_diffusion_deep_fake_tpu.training.runners import fit_denoiser
@@ -94,9 +104,10 @@ def bench_e2e_denoiser(batch=256, size=64, steps=120, warm=20, n_images=1024,
             max_epochs=10_000, log_dir=str(tmp / "runs"),
             checkpoint_dir=str(tmp / "ckpt"),
             log_every_n_steps=log_every, upload_format=upload,
-            data_cache=data_cache,
+            data_cache=data_cache, steps_per_call=steps_per_call,
             handle_preemption=False,  # let a wrapping `timeout` really kill us
             last_checkpoint_min_interval_s=1e9))  # no mid-run epoch saves
+        warm, steps = _align(warm, steps, steps_per_call)
         timer = StepTimer(warm, steps)
         try:
             fit_denoiser(cfg, max_steps=steps, verbose=False, step_callback=timer)
@@ -107,7 +118,8 @@ def bench_e2e_denoiser(batch=256, size=64, steps=120, warm=20, n_images=1024,
             "metric": f"e2e_fit_denoiser_{size}px_b{batch}"
                       + ("" if log_every == 1 else f"_log{log_every}")
                       + ("" if upload == "rgb" else f"_{upload}")
-                      + ("" if data_cache == "host" else "_devcache"),
+                      + ("" if data_cache == "host" else "_devcache")
+                      + ("" if steps_per_call == 1 else f"_k{steps_per_call}"),
             "value": round(batch / dt, 1), "unit": "imgs/sec",
             "step_ms": round(dt * 1e3, 2)}), flush=True)
     finally:
@@ -115,7 +127,8 @@ def bench_e2e_denoiser(batch=256, size=64, steps=120, warm=20, n_images=1024,
 
 
 def bench_e2e_swap(batch=16, size=448, steps=40, warm=8, n_images=128,
-                   upload="rgb", data_cache="host", warp="auto"):
+                   upload="rgb", data_cache="host", warp="auto",
+                   steps_per_call=1):
     """The reference's actual operating point: 448² crops, batch 14-16,
     two-identity swap training (`denoise_config.yml:1-14`)."""
     from denoising_diffusion_deep_fake_tpu.config import (
@@ -135,7 +148,9 @@ def bench_e2e_swap(batch=16, size=448, steps=40, warm=8, n_images=128,
             max_epochs=10_000, log_dir=str(tmp / "runs"),
             checkpoint_dir=str(tmp / "ckpt"), handle_preemption=False,
             upload_format=upload, data_cache=data_cache, warp_method=warp,
+            steps_per_call=steps_per_call,
             last_checkpoint_min_interval_s=1e9))
+        warm, steps = _align(warm, steps, steps_per_call)
         timer = StepTimer(warm, steps)
         try:
             fit_deep_fake(cfg, max_steps=steps, verbose=False, step_callback=timer)
@@ -146,7 +161,8 @@ def bench_e2e_swap(batch=16, size=448, steps=40, warm=8, n_images=128,
             "metric": f"e2e_fit_swap_{size}px_b{batch}_two_models"
                       + ("" if upload == "rgb" else f"_{upload}")
                       + ("" if data_cache == "host" else "_devcache")
-                      + ("" if warp == "auto" else f"_{warp}"),
+                      + ("" if warp == "auto" else f"_{warp}")
+                      + ("" if steps_per_call == 1 else f"_k{steps_per_call}"),
             "value": round(2 * batch / dt, 1), "unit": "imgs/sec",
             "step_ms": round(dt * 1e3, 2)}), flush=True)
     finally:
@@ -172,6 +188,17 @@ BENCHES = {
     # configuration at the reference operating point.
     "swap448_devcache_fused": lambda: bench_e2e_swap(
         data_cache="device", warp="pallas_fused"),
+    # steps_per_call supersteps (training/multi_step.py): K steps in ONE
+    # dispatched program — the fix for the wall-vs-device-busy dispatch gap
+    # the round-4 trace pinned (175.4 ms device inside a 208-215 ms wall at
+    # 448²; 30.4 ms delivered vs 15.2 ms bare step at 64² devcache).
+    "denoiser64_devcache_k16": lambda: bench_e2e_denoiser(
+        data_cache="device", steps_per_call=16, n_images=4096, steps=112,
+        warm=32),
+    "swap448_devcache_k8": lambda: bench_e2e_swap(
+        data_cache="device", steps_per_call=8),
+    "swap448_i420_k8": lambda: bench_e2e_swap(
+        upload="i420", steps_per_call=8),
 }
 
 
