@@ -61,6 +61,13 @@ class BaseConfig:
     log_dir: str = "runs"
     checkpoint_dir: str = "checkpoints"
     log_every_n_steps: int = 1
+    # TB image-panel logging (the reference's throttled grids,
+    # LoggingScheduler cadence). False disables panels entirely: no image
+    # steps, no image-variant compile, no panel transfers — used by
+    # headless/bench runs where the panels' tens-of-MB fetches (and, with
+    # steps_per_call > 1, the single-step fallback dispatches) would
+    # perturb the measurement. Scalars are unaffected.
+    log_images: bool = True
     checkpoint_every_hours: float = 2.0   # mirrors the 2h ModelCheckpoint cadence
     keep_checkpoints: int = 8             # mirrors save_top_k=8
     # Epoch-end 'last' saves are rate-limited to this spacing: Lightning's
@@ -128,8 +135,14 @@ class BaseConfig:
     # Pays on high-latency host links (this TPU tunnel: ~1.5-3 ms/dispatch,
     # BASELINE.md "performance characterization") and with
     # ``data_cache: device`` (zero upload bytes -> dispatch is the whole
-    # loop overhead). Logging cadence and checkpoint cadence are preserved;
-    # image-panel steps and epoch tails fall back to single-step programs.
+    # loop overhead). Per-step TB scalar cadence is preserved exactly (the
+    # loop fans the stacked (k,) metrics out to per-step rows);
+    # checkpoint-due and SIGTERM-preemption checks run once per dispatched
+    # GROUP, so their response latency grows to up to k-1 extra steps —
+    # keep k * step_wall_time well inside your scheduler's SIGTERM grace
+    # window (e.g. 448² at ~180 ms/step: k=8 adds <1.5 s; k=256 would add
+    # ~45 s). validate() warns above 64. Image-panel steps and epoch tails
+    # fall back to single-step programs.
     steps_per_call: int = 1
     # MXU input precision for matmuls/convs (jax.default_matmul_precision):
     #   auto (default): "highest" when compute_dtype is float32 — the TPU
@@ -208,6 +221,15 @@ class BaseConfig:
             raise ValueError(f"unknown remat policy {self.remat!r}")
         if self.steps_per_call < 1:
             raise ValueError("steps_per_call must be >= 1")
+        if self.steps_per_call > 64:
+            import warnings
+
+            warnings.warn(
+                f"steps_per_call={self.steps_per_call}: checkpoint/"
+                "preemption checks run once per dispatched group, so the "
+                "SIGTERM response latency grows by (k-1) steps — make sure "
+                "the group's wall time stays well inside the preemption "
+                "grace window (see config field note)", stacklevel=2)
         if len(tuple(self.color_jitter)) != 4:
             raise ValueError(
                 "color_jitter must be (brightness, contrast, saturation, "

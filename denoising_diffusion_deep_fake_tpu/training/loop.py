@@ -167,8 +167,27 @@ class LoopContext:
     # ------------------------------------------------------------- cadence
 
     def want_images(self) -> bool:
+        """Is an image-panel step due? The answer picks the DISPATCH SHAPE
+        (runners.py `_drive_epoch`: image step vs plain step vs k-step
+        superstep group), so in multi-process runs it must be identical on
+        every host: the scheduler is wall-clock based and hosts' clocks
+        disagree, and a host that dispatches a k-step group while a peer
+        dispatches a single image step consumes k batches (and k steps of
+        collectives) against its peer's one — a permanent stream/collective
+        desync. Process 0's decision is broadcast to everyone (same
+        lockstep discipline as `_sync_metrics` / `preempted`); non-primary
+        panels are dropped at log time anyway."""
+        if not getattr(self.cfg, "log_images", True):
+            return False  # constant across processes: no broadcast needed
         self.image_scheduler.update_with_step_number(self.global_step)
-        return self.image_scheduler.should_we_log_this_step()
+        want = self.image_scheduler.should_we_log_this_step()
+        if jax.process_count() > 1:
+            import numpy as np
+            from jax.experimental import multihost_utils
+
+            want = bool(np.asarray(multihost_utils.broadcast_one_to_all(
+                np.asarray(want))))
+        return want
 
     def log_step(self, metrics: dict[str, Any],
                  images: dict[str, Any] | None = None,
@@ -279,11 +298,14 @@ class LoopContext:
         Each value fetch is a full tunnel round trip (~1.5-3 ms) that also
         occupies the link the prefetch uploads need, so K steps x M scalars
         cost ~K*M round trips fetched naively. Single-process,
-        all-addressable, shape-uniform metrics are stacked into ONE device
-        array (a cached tiny program) and fetched once for the whole batch
-        of steps; multi-process (non-addressable leaves — stacking would
-        raise) and mixed single/superstep backlogs fall back to per-leaf
-        addressable-shard reads.
+        all-addressable metrics are stacked into ONE device array (a cached
+        tiny program) and fetched once for the whole batch of steps —
+        including MIXED backlogs of (k,) superstep vectors and single-step
+        scalars (every epoch tail when steps_per_epoch % k != 0): shorter
+        leaves are edge-padded on device to the longest size, and the
+        consumer only reads each leaf's first n rows. Multi-process
+        (non-addressable leaves — stacking would raise) falls back to
+        per-leaf addressable-shard reads.
         """
         import numpy as np
 
@@ -293,20 +315,26 @@ class LoopContext:
         sizes = {int(np.prod(getattr(x, "shape", ()) or (1,)))
                  for x in leaves}
         packable = (jax.process_count() == 1 and len(leaves) > 1
-                    and len(sizes) == 1 and all(
+                    and all(
             getattr(x, "ndim", None) in (0, 1)
             and getattr(x, "is_fully_addressable", True) for x in leaves))
         if packable:
+            size = max(sizes)
             # Pad to a power-of-two operand count: XLA caches one stack
             # program per bucket instead of one per distinct backlog length.
+            # (Leaf sizes come from the bounded set {1, steps_per_call}, so
+            # the pad pattern adds at most a handful of compiled variants.)
             dev = [jnp.ravel(jnp.asarray(x, jnp.float32)) for x in leaves]
+            dev = [x if x.size == size else jnp.pad(x, (0, size - x.size),
+                                                    mode="edge")
+                   for x in dev]
             bucket = 1 << (len(dev) - 1).bit_length()
             dev += [dev[0]] * (bucket - len(dev))
             packed = np.asarray(jnp.stack(dev))  # (bucket, size)
             out, i = [], 0
             for m in metric_dicts:
-                out.append({k: packed[i + j]
-                            for j, k in enumerate(m.keys())})
+                out.append({k: packed[i + j][:max(1, np.size(v))]
+                            for j, (k, v) in enumerate(m.items())})
                 i += len(m)
             return out
         return [{k: np.atleast_1d(np.asarray(v))
