@@ -169,7 +169,9 @@ def prep(video_path, output_dir, width, height):
 @click.option("--batch_size", type=int, default=8,
               help="Frames swapped per device batch.")
 @click.option("--sampler_steps", type=int, default=0,
-              help="0 = single-pass parity; N>0 = scanned DDIM refinement.")
+              help="0 = single-pass parity (default; the measured quality "
+                   "evidence favoring it is synthetic-blob-derived — "
+                   "BASELINE.md); N>0 = scanned DDIM refinement.")
 @click.option("--transfer", type=click.Choice(["rgb", "i420"]), default="rgb",
               help="Wire format: i420 halves host<->device bytes "
                    "(use on transfer-limited links).")
@@ -275,7 +277,9 @@ def export_ckpt(checkpoint_dir, output_path, step):
 @click.option("--max_wait_ms", type=float, default=5.0,
               help="Max time a lone request waits for batch company.")
 @click.option("--sampler_steps", type=int, default=0,
-              help="0 = single-pass parity; N>0 = scanned DDIM refinement.")
+              help="0 = single-pass parity (default; the measured quality "
+                   "evidence favoring it is synthetic-blob-derived — "
+                   "BASELINE.md); N>0 = scanned DDIM refinement.")
 @click.option("--use_ema", is_flag=True, default=False,
               help="Swap through the EMA shadow instead of the online model.")
 @click.option("--transfer", type=click.Choice(["rgb", "i420"]), default="rgb",
@@ -287,13 +291,18 @@ def export_ckpt(checkpoint_dir, output_path, step):
 @click.option("--max_queue_frames", type=int, default=None,
               help="Admission watermark: queued frames beyond this shed with "
                    "503 + Retry-After (default 8 batches per replica).")
+@click.option("--request_deadline_ms", type=float, default=None,
+              help="Per-request deadline: expired requests are dropped "
+                   "before dispatch (504), so overload never burns device "
+                   "batches on callers that gave up. Clients can override "
+                   "per request with X-Deadline-Ms. Default: no deadline.")
 @click.option("--check", is_flag=True, default=False,
               help="Deployment validation: restore + compile + one device "
                    "round-trip per engine, print stats JSON, exit. "
                    "Does not listen.")
 def serve(checkpoint_path, model_a_or_b, host, port, width, height,
           batch_size, max_wait_ms, sampler_steps, use_ema, transfer, devices,
-          max_queue_frames, check):
+          max_queue_frames, request_deadline_ms, check):
     """Long-running face-swap inference server (HTTP, micro-batched)."""
     from denoising_diffusion_deep_fake_tpu.serving.server import run_server
 
@@ -301,7 +310,8 @@ def serve(checkpoint_path, model_a_or_b, host, port, width, height,
                height=height, width=width, batch_size=batch_size,
                use_ema=use_ema, sampler_steps=sampler_steps,
                max_wait_ms=max_wait_ms, transfer=transfer, devices=devices,
-               max_queue_frames=max_queue_frames, check=check)
+               max_queue_frames=max_queue_frames,
+               request_deadline_ms=request_deadline_ms, check=check)
 
 
 if __name__ == "__main__":

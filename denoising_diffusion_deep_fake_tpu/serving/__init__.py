@@ -11,5 +11,6 @@ batch rates.
 from denoising_diffusion_deep_fake_tpu.serving.engine import (  # noqa: F401
     EngineOverloadedError,
     EngineStats,
+    RequestExpiredError,
     SwapEngine,
 )

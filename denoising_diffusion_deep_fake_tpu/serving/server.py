@@ -33,6 +33,14 @@ longer costs its payload upload. ``Expect: 100-continue`` clients pay zero
 body bytes on shed (the final 503 replaces the interim 100, RFC 7231
 §5.1.1); other clients get the 503 plus a connection close.
 
+Admitted work is CANCELLABLE: an optional per-request deadline (header
+``X-Deadline-Ms``, counted from header parse so the body upload spends it;
+or the server-wide ``--request_deadline_ms`` default, counted from
+dispatch) turns into a 504 when it passes — and any frames the engine has
+not yet packed into a device batch are dropped at gather time, so under
+overload the scarce device batches go to callers still listening (the
+engine's ``expired_dropped_frames`` counter is the device work saved).
+
 No reference counterpart (SURVEY.md §5 records the serving absence); the
 image-handling semantics (center-crop geometry, BGR file convention,
 identity-crossed normalization) follow the reference video tools
@@ -43,6 +51,7 @@ from __future__ import annotations
 
 import json
 import threading
+import time
 import urllib.parse
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
@@ -50,6 +59,7 @@ import numpy as np
 
 from denoising_diffusion_deep_fake_tpu.serving.engine import (
     EngineOverloadedError,
+    RequestExpiredError,
     SwapEngine,
 )
 
@@ -226,9 +236,39 @@ def _make_handler(engines: dict[str, SwapEngine]):
 
         # ------------------------------------------------------------ POST
 
+        def _parse_deadline(self) -> None:
+            """Per-request deadline from ``X-Deadline-Ms`` (optional).
+
+            The clock starts at header parse, so the BODY UPLOAD time counts
+            against it — a client on a saturated wire whose payload arrives
+            after its own deadline is answered 504 without touching the
+            engine. Absent the header, the engine's configured
+            ``request_deadline_ms`` applies (measured from dispatch)."""
+            self._deadline = None
+            hdr = self.headers.get("X-Deadline-Ms")
+            if hdr:
+                try:
+                    ms = float(hdr)
+                except ValueError:
+                    raise ValueError(f"bad X-Deadline-Ms {hdr!r}")
+                if ms > 0:
+                    self._deadline = time.monotonic() + ms / 1000.0
+
+        def _remaining_deadline_ms(self) -> float | None:
+            """None = use the engine default; raises if already expired."""
+            if getattr(self, "_deadline", None) is None:
+                return None
+            remaining = (self._deadline - time.monotonic()) * 1000.0
+            if remaining <= 0:
+                raise RequestExpiredError(
+                    "deadline passed before the request body finished "
+                    "uploading")
+            return remaining
+
         def do_POST(self):
             self._note_body_length()
             try:
+                self._parse_deadline()
                 path, engine = self._route()
                 # Header-only admission probe: shed BEFORE reading the body
                 # (the authoritative all-or-nothing check in swap_wire still
@@ -243,6 +283,12 @@ def _make_handler(engines: dict[str, SwapEngine]):
                     self._reply_json(404, {"error": f"unknown path {path}"})
             except ValueError as e:
                 self._reply_json(400, {"error": str(e)})
+            except RequestExpiredError as e:
+                # The client's deadline passed (engine-side, or during the
+                # body upload). 504: the request was admitted but its answer
+                # could not be delivered in time — distinct from the 503
+                # shed, which never admitted it.
+                self._reply_json(504, {"error": str(e)})
             except EngineOverloadedError as e:
                 # Load shed: bounded queueing delay for admitted requests,
                 # an honest signal (with a drain estimate) for the rest.
@@ -265,7 +311,8 @@ def _make_handler(engines: dict[str, SwapEngine]):
             if frame_bgr is None:
                 raise ValueError("body is not a decodable image")
             rgb = prepare_frame(frame_bgr, engine.width, engine.height)
-            fake_rgb = engine.swap(rgb)
+            fake_rgb = engine.swap(rgb,
+                                   deadline_ms=self._remaining_deadline_ms())
             ok, out = cv2.imencode(".jpg", fake_rgb[..., ::-1],
                                    [cv2.IMWRITE_JPEG_QUALITY, 95])
             if not ok:
@@ -303,7 +350,8 @@ def _make_handler(engines: dict[str, SwapEngine]):
                 raise ValueError(
                     f"body has {len(body)} bytes, shape needs {expected}")
             frames = np.frombuffer(body, np.uint8).reshape(body_shape)
-            fake = self._swap_in_format(engine, frames, fmt)
+            fake = self._swap_in_format(engine, frames, fmt,
+                                        self._remaining_deadline_ms())
             squeeze = (len(shape) == 3 and fmt == "rgb") or (
                 len(shape) == 2 and fmt == "i420")
             if squeeze:
@@ -321,7 +369,8 @@ def _make_handler(engines: dict[str, SwapEngine]):
 
         @staticmethod
         def _swap_in_format(engine: SwapEngine, frames: np.ndarray,
-                            fmt: str) -> np.ndarray:
+                            fmt: str,
+                            deadline_ms: float | None = None) -> np.ndarray:
             """Swap a stack given in wire format ``fmt``; reply in ``fmt``.
 
             When the client's format matches the engine's device transfer the
@@ -330,14 +379,16 @@ def _make_handler(engines: dict[str, SwapEngine]):
             request thread.
             """
             if fmt == engine.transfer:
-                return engine.swap_wire(frames)
+                return engine.swap_wire(frames, deadline_ms=deadline_ms)
             if fmt == "i420":  # i420 client, rgb engine
                 from denoising_diffusion_deep_fake_tpu.ops.image import (
                     pack_rgb_batch_to_i420_np, unpack_i420_batch_to_rgb_np)
 
-                fake = engine.swap(unpack_i420_batch_to_rgb_np(frames))
+                fake = engine.swap(unpack_i420_batch_to_rgb_np(frames),
+                                   deadline_ms=deadline_ms)
                 return pack_rgb_batch_to_i420_np(fake)
-            return engine.swap(frames)  # rgb client, i420 engine
+            return engine.swap(frames,  # rgb client, i420 engine
+                               deadline_ms=deadline_ms)
 
     return Handler
 
@@ -403,6 +454,7 @@ def run_server(checkpoint_path, identity: str, *, host: str = "0.0.0.0",
                sampler_steps: int = 0, max_wait_ms: float = 5.0,
                transfer: str = "rgb", devices: int = 1,
                max_queue_frames: int | None = None,
+               request_deadline_ms: float | None = None,
                verbose: bool = True, check: bool = False) -> None:
     """CLI entry: load, warm up (compile), then serve until interrupted.
 
@@ -421,7 +473,8 @@ def run_server(checkpoint_path, identity: str, *, host: str = "0.0.0.0",
             batch_size=batch_size, use_ema=use_ema,
             sampler_steps=sampler_steps, max_wait_ms=max_wait_ms,
             transfer=transfer, devices=devices,
-            max_queue_frames=max_queue_frames)
+            max_queue_frames=max_queue_frames,
+            request_deadline_ms=request_deadline_ms)
         if verbose:
             print(f"compiling swap pipeline for '{name}' ({height}x{width}, "
                   f"batch {batch_size}) ...", flush=True)
