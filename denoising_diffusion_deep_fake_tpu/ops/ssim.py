@@ -92,10 +92,18 @@ def ssim(x: jax.Array, y: jax.Array, *, value_range: float = 1.0,
     c1 = (k1 * value_range) ** 2
     c2 = (k2 * value_range) ** 2
 
-    # One fused filtering pass over [x, y, x*x, y*y, x*y] stacked on batch.
-    stacked = jnp.concatenate([x, y, x * x, y * y, x * y], axis=0)
+    # One fused filtering pass over [x, y, x*x, y*y, x*y] — stacked on the
+    # CHANNEL axis, not batch: batch is the mesh's data-sharded axis, and a
+    # concat/split along a sharded axis makes the SPMD partitioner reshard
+    # (the round-5 collective census caught it: 62 collective-permutes +
+    # 12 all-to-alls moving activation chunks cross-device per step in a
+    # pure-DP program, parallel/audit.py). Channels are never sharded, the
+    # blur is depthwise (feature_group_count = C, so 15 groups computes the
+    # same per-channel math bit-for-bit), and the sharded program carries
+    # zero loss-side collectives.
+    stacked = jnp.concatenate([x, y, x * x, y * y, x * y], axis=-1)
     f = _blur(stacked, kernel)
-    mu_x, mu_y, exx, eyy, exy = jnp.split(f, 5, axis=0)
+    mu_x, mu_y, exx, eyy, exy = jnp.split(f, 5, axis=-1)
 
     mu_xx = mu_x * mu_x
     mu_yy = mu_y * mu_y

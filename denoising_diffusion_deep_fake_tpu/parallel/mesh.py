@@ -44,6 +44,44 @@ def create_mesh(data_parallel: int | None = None, spatial: int = 1,
     return Mesh(grid, axis_names=("data", "spatial"))
 
 
+def training_mesh(data_parallel: int | None = None,
+                  spatial: int = 1) -> Mesh:
+    """The canonical ('data','spatial') mesh every fit_* runner builds.
+
+    Multi-process runs span EVERY global device (data axis = cluster size /
+    spatial); single-process honors the explicit ``data_parallel`` knob.
+    Deterministic over ``jax.devices()``, so a trainer that needs the same
+    mesh (for in-step activation constraints — see
+    ``spatial_activation_constraint``) can rebuild it and get device-for-
+    device the mesh the runner sharded the operands over.
+    """
+    if jax.process_count() > 1:
+        return create_mesh(None, spatial=spatial)
+    return create_mesh(data_parallel, spatial=spatial)
+
+
+def spatial_activation_constraint(data_parallel: int | None, spatial: int):
+    """Returns ``pin(x)`` re-pinning NHWC activations to the training mesh's
+    ('data', 'spatial') sharding — identity when ``spatial <= 1``.
+
+    Why this must exist (round-5 collective-census finding,
+    parallel/audit.py): the train steps open with a gather-based affine warp
+    whose H-axis gather the SPMD partitioner cannot partition along H — so
+    without an explicit constraint on the warp OUTPUT, H-sharding dies at
+    the first op and the partitioner silently REPLICATES the entire U-Net
+    over the spatial axis: every spatial rank redundantly computes the full
+    network (the compiled (4,2) census showed zero halo collective-permutes
+    and full-H conv shapes). Pinning the post-augment activations restores
+    real H-sharding: convs carry H/spatial per device and XLA inserts the
+    halo exchanges.
+    """
+    if spatial <= 1:
+        return lambda x: x
+    sharding = batch_sharding(training_mesh(data_parallel, spatial),
+                              spatial_dim=1)
+    return lambda x: jax.lax.with_sharding_constraint(x, sharding)
+
+
 def batch_sharding(mesh: Mesh, *, spatial_dim: int | None = None) -> NamedSharding:
     """NHWC batch: batch axis over 'data', optionally H over 'spatial'."""
     if spatial_dim is None:

@@ -64,6 +64,14 @@ class BalanceTrainer:
         # Reference: plain Adam, no LR schedule (lit_module.py:83-88).
         self.tx = make_adam_with_cosine(cfg.learning_rate, b1=cfg.adam_b1,
                                         b2=cfg.adam_b2, cosine_t_max=None)
+        from denoising_diffusion_deep_fake_tpu.parallel.mesh import (
+            spatial_activation_constraint)
+
+        # See deep_fake.py: pins activations to the spatial axis (no warp
+        # here, but the pin keeps all three workloads' sharding uniform).
+        self._pin_spatial = spatial_activation_constraint(
+            getattr(cfg, "data_parallel", None),
+            getattr(cfg, "spatial_parallel", 1))
 
     def init_state(self, rng: jax.Array) -> ModelState:
         shape = (1, self.image_size, self.image_size, 3)
@@ -83,7 +91,8 @@ class BalanceTrainer:
         # Per-step key derived on device from the step counter (see
         # denoiser.py) — host passes a constant base key.
         rng = jax.random.fold_in(rng, state.step)
-        image = normalise_batch(batch_u8, cfg.mean, cfg.std)
+        image = self._pin_spatial(normalise_batch(batch_u8, cfg.mean,
+                                                  cfg.std))
         noisy = blend_fixed_amount_of_noise(rng, image, cfg.ratio_of_noise)
 
         def loss_fn(params):

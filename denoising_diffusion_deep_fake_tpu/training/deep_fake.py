@@ -87,6 +87,16 @@ class DeepFakeTrainer:
         self.jitter = ColorJitterConfig(
             *getattr(cfg, "color_jitter", (0.0,) * 4),
             probability=getattr(cfg, "color_jitter_p", 1.0))
+        from denoising_diffusion_deep_fake_tpu.parallel.mesh import (
+            spatial_activation_constraint)
+
+        # Re-pins post-augment activations to the ('data','spatial') mesh —
+        # without it the warp's H-gather kills H-sharding at the first op
+        # and spatial mode silently replicates the whole U-Net (see
+        # spatial_activation_constraint). Identity when spatial_parallel<=1.
+        self._pin_spatial = spatial_activation_constraint(
+            getattr(cfg, "data_parallel", None),
+            getattr(cfg, "spatial_parallel", 1))
 
     # ---------------------------------------------------------------- states
 
@@ -202,6 +212,8 @@ class DeepFakeTrainer:
 
             real_a = jit_one(k_a, real_a, cfg.mean_a, cfg.std_a)
             real_b = jit_one(k_b, real_b, cfg.mean_b, cfg.std_b)
+        real_a = self._pin_spatial(real_a)
+        real_b = self._pin_spatial(real_b)
 
         metrics: dict[str, Any] = {}
         images: dict[str, Any] = {}

@@ -62,6 +62,13 @@ class DenoiserTrainer:
         self.jitter = ColorJitterConfig(
             *getattr(cfg, "color_jitter", (0.0,) * 4),
             probability=getattr(cfg, "color_jitter_p", 1.0))
+        from denoising_diffusion_deep_fake_tpu.parallel.mesh import (
+            spatial_activation_constraint)
+
+        # See deep_fake.py: restores real H-sharding past the warp's gather.
+        self._pin_spatial = spatial_activation_constraint(
+            getattr(cfg, "data_parallel", None),
+            getattr(cfg, "spatial_parallel", 1))
 
     def init_state(self, rng: jax.Array) -> ModelState:
         shape = (1, self.image_size, self.image_size, 3)
@@ -97,6 +104,7 @@ class DenoiserTrainer:
                 jax.random.fold_in(rng, 2), image.shape[0], self.jitter)
             image = color_jitter_normalised(image, jit_params,
                                             cfg.mean, cfg.std)
+        image = self._pin_spatial(image)
         noisy, _ = blend_random_amount_of_noise(
             k_noise, image, cfg.noise_exponential_sampling_lambda)
 

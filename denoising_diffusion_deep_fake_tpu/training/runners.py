@@ -67,15 +67,16 @@ def _steps_per_epoch(cfg, loader) -> int:
 def _training_mesh(cfg):
     """Build the ('data', 'spatial') training mesh from config knobs.
 
-    Multi-process runs span every global device (data axis = the cluster /
-    spatial_parallel); single-process keeps the explicit ``data_parallel``
-    knob. ``spatial_parallel > 1`` H-shards activations across the spatial
-    axis (large-resolution scaling — batch uploads get the matching
-    sharding via ``_spatial(cfg)`` below)."""
-    spatial = getattr(cfg, "spatial_parallel", 1)
-    if jax.process_count() > 1:
-        return create_mesh(None, spatial=spatial)
-    return create_mesh(cfg.data_parallel, spatial=spatial)
+    Delegates to ``parallel.mesh.training_mesh`` — the same deterministic
+    construction the trainers use for their in-step spatial activation
+    constraints, so the runner's operand shardings and the steps' pins
+    always name one mesh. ``spatial_parallel > 1`` H-shards activations
+    (large-resolution scaling — batch uploads get the matching sharding via
+    ``_spatial(cfg)`` below)."""
+    from denoising_diffusion_deep_fake_tpu.parallel.mesh import training_mesh
+
+    return training_mesh(cfg.data_parallel,
+                         getattr(cfg, "spatial_parallel", 1))
 
 
 def _spatial(cfg) -> bool:

@@ -89,17 +89,23 @@ def test_spatial_sharded_step_matches_single_device():
     from denoising_diffusion_deep_fake_tpu.training.denoiser import (
         DenoiserTrainer)
 
-    cfg = config_from_dict(DenoiserConfig, dict(
-        input_image_list_path="x", batch_size=4, learning_rate=1e-3,
-        encoder_name="resnet18", compute_dtype="float32",
-        noise_exponential_sampling_lambda=3.0), validate=False)
-    trainer = DenoiserTrainer(cfg, steps_per_epoch=10, image_size=64)
     batch = np.random.default_rng(1).integers(
         0, 256, (4, 64, 64, 3), dtype=np.uint8)
     key = jax.random.PRNGKey(3)
 
     results = {}
     for name, (dp, sp) in {"single": (1, 1), "2x2": (2, 2)}.items():
+        # data_parallel/spatial_parallel in the CONFIG so the trainer's
+        # in-step spatial activation pin fires and the 2x2 run really
+        # H-shards the convs (parallel.mesh.spatial_activation_constraint —
+        # without the knobs the partitioner replicates the spatial axis and
+        # this test would compare replication, not halo math).
+        cfg = config_from_dict(DenoiserConfig, dict(
+            input_image_list_path="x", batch_size=4, learning_rate=1e-3,
+            encoder_name="resnet18", compute_dtype="float32",
+            data_parallel=dp, spatial_parallel=sp,
+            noise_exponential_sampling_lambda=3.0), validate=False)
+        trainer = DenoiserTrainer(cfg, steps_per_epoch=10, image_size=64)
         mesh = create_mesh(dp, spatial=sp, devices=jax.devices()[:dp * sp])
         state = shard_state(trainer.init_state(jax.random.PRNGKey(0)), mesh)
         step = trainer.make_train_step(donate=False)
