@@ -78,9 +78,13 @@ def swap_refine(predict_x0: Callable[[jax.Array], jax.Array], real: jax.Array,
                 clip: tuple[float, float] | None = (-1.0, 1.0)) -> jax.Array:
     """Noise the input to ``r_start`` then DDIM-refine it in ``steps`` steps.
 
-    The multi-step analogue of the reference's one-shot ``predict_fake``: the
-    identity-mapped output distribution improves with steps at the cost of N
-    forwards — all fused in one scanned program.
+    The multi-step analogue of the reference's one-shot ``predict_fake`` —
+    all fused in one scanned program. NOTE: single-pass remains the default
+    because measured quality evidence (BASELINE.md rounds 3-4: converged
+    models still lose ~17 dB of structure through a 3000-step refine) favors
+    it; that evidence is SYNTHETIC-BLOB-derived (tools/ddim_quality.py
+    tinted-blob identities — no real-image data exists on this host), so
+    revisit the default if real-data evaluation ever says otherwise.
     """
     noise = jax.random.normal(key, real.shape, dtype=real.dtype)
     r0 = jnp.full((real.shape[0],) + (1,) * (real.ndim - 1), r_start,

@@ -89,7 +89,7 @@ def _align(warm: int, steps: int, k: int) -> tuple[int, int]:
 
 def bench_e2e_denoiser(batch=256, size=64, steps=120, warm=20, n_images=1024,
                        log_every=1, upload="rgb", data_cache="host",
-                       steps_per_call=1):
+                       steps_per_call=1, log_images=True):
     from denoising_diffusion_deep_fake_tpu.config import (
         DenoiserConfig, config_from_dict)
     from denoising_diffusion_deep_fake_tpu.training.runners import fit_denoiser
@@ -105,6 +105,7 @@ def bench_e2e_denoiser(batch=256, size=64, steps=120, warm=20, n_images=1024,
             checkpoint_dir=str(tmp / "ckpt"),
             log_every_n_steps=log_every, upload_format=upload,
             data_cache=data_cache, steps_per_call=steps_per_call,
+            log_images=log_images,
             handle_preemption=False,  # let a wrapping `timeout` really kill us
             last_checkpoint_min_interval_s=1e9))  # no mid-run epoch saves
         warm, steps = _align(warm, steps, steps_per_call)
@@ -119,7 +120,8 @@ def bench_e2e_denoiser(batch=256, size=64, steps=120, warm=20, n_images=1024,
                       + ("" if log_every == 1 else f"_log{log_every}")
                       + ("" if upload == "rgb" else f"_{upload}")
                       + ("" if data_cache == "host" else "_devcache")
-                      + ("" if steps_per_call == 1 else f"_k{steps_per_call}"),
+                      + ("" if steps_per_call == 1 else f"_k{steps_per_call}")
+                      + ("" if log_images else "_noimg"),
             "value": round(batch / dt, 1), "unit": "imgs/sec",
             "step_ms": round(dt * 1e3, 2)}), flush=True)
     finally:
@@ -128,7 +130,7 @@ def bench_e2e_denoiser(batch=256, size=64, steps=120, warm=20, n_images=1024,
 
 def bench_e2e_swap(batch=16, size=448, steps=40, warm=8, n_images=128,
                    upload="rgb", data_cache="host", warp="auto",
-                   steps_per_call=1):
+                   steps_per_call=1, log_images=True):
     """The reference's actual operating point: 448² crops, batch 14-16,
     two-identity swap training (`denoise_config.yml:1-14`)."""
     from denoising_diffusion_deep_fake_tpu.config import (
@@ -148,7 +150,7 @@ def bench_e2e_swap(batch=16, size=448, steps=40, warm=8, n_images=128,
             max_epochs=10_000, log_dir=str(tmp / "runs"),
             checkpoint_dir=str(tmp / "ckpt"), handle_preemption=False,
             upload_format=upload, data_cache=data_cache, warp_method=warp,
-            steps_per_call=steps_per_call,
+            steps_per_call=steps_per_call, log_images=log_images,
             last_checkpoint_min_interval_s=1e9))
         warm, steps = _align(warm, steps, steps_per_call)
         timer = StepTimer(warm, steps)
@@ -162,7 +164,8 @@ def bench_e2e_swap(batch=16, size=448, steps=40, warm=8, n_images=128,
                       + ("" if upload == "rgb" else f"_{upload}")
                       + ("" if data_cache == "host" else "_devcache")
                       + ("" if warp == "auto" else f"_{warp}")
-                      + ("" if steps_per_call == 1 else f"_k{steps_per_call}"),
+                      + ("" if steps_per_call == 1 else f"_k{steps_per_call}")
+                      + ("" if log_images else "_noimg"),
             "value": round(2 * batch / dt, 1), "unit": "imgs/sec",
             "step_ms": round(dt * 1e3, 2)}), flush=True)
     finally:
@@ -192,13 +195,28 @@ BENCHES = {
     # dispatched program — the fix for the wall-vs-device-busy dispatch gap
     # the round-4 trace pinned (175.4 ms device inside a 208-215 ms wall at
     # 448²; 30.4 ms delivered vs 15.2 ms bare step at 64² devcache).
+    # The k-rows and their k=1 controls run with log_images=False: at 448²
+    # a k-group takes ~1.7 s, so the wall-clock image scheduler's early
+    # 10 s cadence fires INSIDE the measured window — every hit falls back
+    # to single-step dispatch (by design), compiles the image variant
+    # mid-window, and fetches ~100 MB of panels over the tunnel. The first
+    # contended capture measured 5087 ms/step for k8 from exactly this;
+    # with panels off the rows isolate the dispatch-amortization effect
+    # (panels are an operator-facing observability cost, not loop overhead;
+    # panel cost itself is a separate row in bench_suite).
+    "denoiser64_devcache_noimg": lambda: bench_e2e_denoiser(
+        data_cache="device", log_images=False),
     "denoiser64_devcache_k16": lambda: bench_e2e_denoiser(
         data_cache="device", steps_per_call=16, n_images=4096, steps=112,
-        warm=32),
+        warm=32, log_images=False),
+    "swap448_devcache_noimg": lambda: bench_e2e_swap(
+        data_cache="device", log_images=False),
     "swap448_devcache_k8": lambda: bench_e2e_swap(
-        data_cache="device", steps_per_call=8),
+        data_cache="device", steps_per_call=8, log_images=False),
+    "swap448_i420_noimg": lambda: bench_e2e_swap(
+        upload="i420", log_images=False),
     "swap448_i420_k8": lambda: bench_e2e_swap(
-        upload="i420", steps_per_call=8),
+        upload="i420", steps_per_call=8, log_images=False),
 }
 
 
