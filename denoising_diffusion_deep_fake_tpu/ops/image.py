@@ -76,6 +76,25 @@ def grid_to_display(batch: jax.Array, nrow: int = 3) -> jax.Array:
     return jnp.clip(grid * 0.5 + 0.5, 0.0, 1.0)
 
 
+def panel_grid_u8(batch: jax.Array, nrow: int = 3) -> jax.Array:
+    """Display-ready uint8 TB panel, computed ON DEVICE inside the image
+    step (round-5): grid + denorm + clamp + 255-quantize before the fetch.
+
+    The loop previously fetched each panel as the FULL normalized float
+    batch ([16,448,448,3] fp32 = 38 MB per panel, ~300 MB per image step
+    across the swap workload's 8 panels) and then re-uploaded it for the
+    grid math. Only the first ``nrow²`` images ever reach TensorBoard, so
+    the grid/denorm/quantize belongs in the compiled step: the wire now
+    carries one ~5 MB uint8 grid per panel (448²) — ~56x fewer panel bytes
+    on the tunnel the async metric worker shares with batch uploads.
+    Quantization matches tensorboardX's own float->uint8 conversion
+    (``(x * 255.0).astype(uint8)`` — truncation), so logged pixels are
+    bit-identical to the old full-batch path.
+    """
+    g = grid_to_display(batch.astype(jnp.float32), nrow=nrow)
+    return (g * 255.0).astype(jnp.uint8)
+
+
 def center_crop_box(height: int, width: int, target_aspect_w: int,
                     target_aspect_h: int) -> tuple[int, int, int, int]:
     """(y0, y1, x0, x1) of the centered crop with the target aspect ratio.

@@ -92,18 +92,27 @@ def ssim(x: jax.Array, y: jax.Array, *, value_range: float = 1.0,
     c1 = (k1 * value_range) ** 2
     c2 = (k2 * value_range) ** 2
 
-    # One fused filtering pass over [x, y, x*x, y*y, x*y] — stacked on the
-    # CHANNEL axis, not batch: batch is the mesh's data-sharded axis, and a
-    # concat/split along a sharded axis makes the SPMD partitioner reshard
-    # (the round-5 collective census caught it: 62 collective-permutes +
-    # 12 all-to-alls moving activation chunks cross-device per step in a
-    # pure-DP program, parallel/audit.py). Channels are never sharded, the
-    # blur is depthwise (feature_group_count = C, so 15 groups computes the
-    # same per-channel math bit-for-bit), and the sharded program carries
-    # zero loss-side collectives.
-    stacked = jnp.concatenate([x, y, x * x, y * y, x * y], axis=-1)
+    # One fused filtering pass over [x, y, x*x, y*y, x*y], stacked on the
+    # batch axis PER SAMPLE: stack on a new axis 1 then merge, so sample
+    # b's five maps are rows 5b..5b+4. Two constraints meet here (round 5):
+    # * a plain axis-0 concat puts each ORIGINAL sample's maps 1/5th of the
+    #   batch apart, which under data sharding straddles shard boundaries —
+    #   the SPMD partitioner inserted 62 collective-permutes + 12
+    #   all-to-alls per step to reshuffle activation chunks cross-device
+    #   (caught by the collective census, parallel/audit.py); per-sample
+    #   interleaving keeps every sample's maps on its own shard, so the
+    #   pure-DP program carries zero loss-side collectives;
+    # * stacking on the CHANNEL axis instead would be shard-clean too, but
+    #   splitting lanes at non-128-aligned offsets (3,6,9,12) forces a
+    #   relayout copy per map on TPU — measured +51 ms on the 448² swap
+    #   step. Axis-1 slicing of the [B,5,...] view is a major-dim slice:
+    #   free on TPU, shard-neutral, and bit-identical math either way.
+    b = x.shape[0]
+    stacked = jnp.stack([x, y, x * x, y * y, x * y],
+                        axis=1).reshape((5 * b,) + x.shape[1:])
     f = _blur(stacked, kernel)
-    mu_x, mu_y, exx, eyy, exy = jnp.split(f, 5, axis=-1)
+    f = f.reshape((b, 5) + f.shape[1:])
+    mu_x, mu_y, exx, eyy, exy = (f[:, i] for i in range(5))
 
     mu_xx = mu_x * mu_x
     mu_yy = mu_y * mu_y

@@ -110,8 +110,14 @@ class BalanceTrainer:
 
         metrics = {"loss": loss}
         if with_images:
-            return new_state, metrics, {"image": image, "image_noisy": noisy,
-                                        "image_prediction": pred}
+            from denoising_diffusion_deep_fake_tpu.ops.image import (
+                panel_grid_u8)
+
+            # Display-ready uint8 grids built on device (see deep_fake.py).
+            return new_state, metrics, {
+                tag: panel_grid_u8(x) for tag, x in
+                {"image": image, "image_noisy": noisy,
+                 "image_prediction": pred}.items()}
         return new_state, metrics
 
     def make_validation_step(self):

@@ -277,6 +277,13 @@ class DeepFakeTrainer:
 
         new_states = {"a": state_a, "b": state_b}
         if with_images:
+            from denoising_diffusion_deep_fake_tpu.ops.image import (
+                panel_grid_u8)
+
+            # Panels leave the step display-ready (uint8 3x3 grids built on
+            # device): the swap workload's 8 panels fetched ~300 MB/step as
+            # full fp32 batches at 448² — now ~5 MB each.
+            images = {tag: panel_grid_u8(x) for tag, x in images.items()}
             return new_states, metrics, images
         return new_states, metrics
 

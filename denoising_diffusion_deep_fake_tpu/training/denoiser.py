@@ -136,8 +136,14 @@ class DenoiserTrainer:
                                  state.step // self.steps_per_epoch)
         metrics = {"loss": loss, "lr": lr}
         if with_images:
-            images = {"image": image, "image_noisy": noisy,
-                      "image_prediction": pred}
+            from denoising_diffusion_deep_fake_tpu.ops.image import (
+                panel_grid_u8)
+
+            # Panels leave the step display-ready (uint8 3x3 grids built on
+            # device) — ~56x fewer bytes per panel fetch at 448².
+            images = {tag: panel_grid_u8(x) for tag, x in
+                      {"image": image, "image_noisy": noisy,
+                       "image_prediction": pred}.items()}
             return new_state, metrics, images
         return new_state, metrics
 

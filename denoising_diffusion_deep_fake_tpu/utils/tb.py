@@ -45,7 +45,16 @@ class TensorBoardLogger:
 
     def log_batch_as_image_grid(self, tag: str, batch, step: int,
                                 nrow: int = 3) -> None:
-        """3x3 grid, x*0.5+0.5 denorm, clamp — the reference's panel format."""
+        """3x3 grid, x*0.5+0.5 denorm, clamp — the reference's panel format.
+
+        Accepts either a normalized NHWC float batch (gridded here, the
+        original path) or a display-ready HWC uint8 grid the step already
+        built on device (``ops.image.panel_grid_u8`` — the cheap-transfer
+        path; passed through untouched)."""
+        arr = np.asarray(batch)
+        if arr.ndim == 3 and arr.dtype == np.uint8:
+            self.writer.add_image(tag, arr, step, dataformats="HWC")
+            return
         grid = np.asarray(grid_to_display(batch, nrow=nrow))
         self.writer.add_image(tag, grid, step, dataformats="HWC")
 

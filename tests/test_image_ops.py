@@ -122,3 +122,15 @@ class TestI420:
         y_in = (0.257 * rgb[..., 0] + 0.504 * rgb[..., 1]
                 + 0.098 * rgb[..., 2])
         assert np.abs(y_rt - y_in).mean() < 1.5
+
+
+def test_panel_grid_u8_matches_writer_quantization(rng):
+    """Device-built uint8 panels == the old path's pixels: grid_to_display
+    then tensorboardX's own float->uint8 truncation ((x*255).astype)."""
+    from denoising_diffusion_deep_fake_tpu.ops.image import panel_grid_u8
+
+    batch = jnp.asarray(rng.random((12, 8, 8, 3)).astype(np.float32) * 2 - 1)
+    got = np.asarray(panel_grid_u8(batch))
+    want = (np.asarray(grid_to_display(batch)) * 255.0).astype(np.uint8)
+    assert got.dtype == np.uint8 and got.shape == want.shape
+    np.testing.assert_array_equal(got, want)

@@ -123,3 +123,24 @@ checkpoint_dir: {tmp_path}/ckpt
     # --report parses the capture without TensorBoard: the plane listing
     # must appear on stdout (device-plane analysis needs real TPU planes).
     assert '"planes"' in result.output, result.output
+
+
+def test_tb_logger_accepts_device_built_grid(tmp_path, rng):
+    """The uint8 pass-through path (ops.image.panel_grid_u8 output) writes
+    the same image summary the float-batch path would."""
+    from denoising_diffusion_deep_fake_tpu.ops.image import panel_grid_u8
+    import jax.numpy as jnp
+
+    batch = jnp.asarray(rng.random((9, 8, 8, 3)).astype(np.float32) * 2 - 1)
+    d = tmp_path / "tb_u8"
+    logger = TensorBoardLogger(d)
+    logger.log_batch_as_image_grid("panel", panel_grid_u8(batch), step=1)
+    logger.flush()
+    logger.close()
+
+    from tensorboard.backend.event_processing.event_accumulator import (
+        EventAccumulator)
+
+    acc = EventAccumulator(str(d))
+    acc.Reload()
+    assert acc.Images("panel")[0].step == 1

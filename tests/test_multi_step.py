@@ -307,3 +307,25 @@ def test_grouped_scalars_reach_tensorboard(tmp_path):
     assert [r.step for r in rows] == [0, 1, 2, 3, 4]
     np.testing.assert_allclose([r.value for r in rows],
                                [0.1, 0.2, 0.3, 0.4, 0.5], rtol=1e-6)
+
+
+def test_fit_superstep_tb_cadence_end_to_end(tmp_path):
+    """VERDICT r4 #1 cadence proof at the REAL fit_* level: a k=4 run with
+    log_every_n_steps=1 lands one TB scalar row for EVERY step, grouped
+    dispatches included (panels off via the log_images knob, so the run is
+    dispatch-deterministic without monkeypatching)."""
+    manifest = make_image_dataset(tmp_path, n=16, size=32)
+    cfg = _denoiser_cfg(manifest, tmp_path / "tb", steps_per_call=4,
+                        log_images=False)
+    fit_denoiser(cfg, max_steps=8, verbose=False)
+
+    from tensorboard.backend.event_processing.event_accumulator import (
+        EventAccumulator)
+
+    acc = EventAccumulator(str(tmp_path / "tb" / "runs" / "denoiser"))
+    acc.Reload()
+    rows = acc.Scalars("loss")
+    assert [r.step for r in rows] == list(range(8))
+    assert all(np.isfinite(r.value) for r in rows)
+    # lr rides the same cadence.
+    assert [r.step for r in acc.Scalars("lr")] == list(range(8))

