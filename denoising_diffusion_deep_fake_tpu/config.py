@@ -144,6 +144,15 @@ class BaseConfig:
     # ~45 s). validate() warns above 64. Image-panel steps and epoch tails
     # fall back to single-step programs.
     steps_per_call: int = 1
+    # OPT-IN, NON-PARITY: run the whole U-Net at H/p x W/p via a p x p
+    # pixel-unshuffle input stem + pixel-shuffle output head
+    # (models.unet.PatchifiedUnet). Targets the 448² trace's top sink —
+    # bandwidth-bound full-resolution stem/decoder elementwork — by
+    # shrinking every full-res map p² in area. CHANGES THE MODEL (each
+    # output pixel is predicted jointly with its p x p block): no reference
+    # counterpart, no torch-replica export, quality must be re-evaluated.
+    # 1 = off (default, reference-parity). H and W must divide 32*p.
+    patchify_stem: int = 1
     # MXU input precision for matmuls/convs (jax.default_matmul_precision):
     #   auto (default): "highest" when compute_dtype is float32 — the TPU
     #   backend otherwise rounds fp32 conv inputs to one-pass bf16, which
@@ -230,6 +239,14 @@ class BaseConfig:
                 "SIGTERM response latency grows by (k-1) steps — make sure "
                 "the group's wall time stays well inside the preemption "
                 "grace window (see config field note)", stacklevel=2)
+        if self.patchify_stem < 1:
+            raise ValueError("patchify_stem must be >= 1")
+        if self.patchify_stem > 1 and self.image_size % (
+                32 * self.patchify_stem):
+            raise ValueError(
+                f"patchify_stem={self.patchify_stem} needs image_size "
+                f"divisible by {32 * self.patchify_stem} "
+                f"(got {self.image_size})")
         if len(tuple(self.color_jitter)) != 4:
             raise ValueError(
                 "color_jitter must be (brightness, contrast, saturation, "

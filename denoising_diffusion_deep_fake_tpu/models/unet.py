@@ -202,10 +202,65 @@ class Unet(nn.Module):
         return y.astype(jnp.float32)
 
 
+def space_to_depth(x: jax.Array, p: int) -> jax.Array:
+    """NHWC [B,H,W,C] -> [B,H/p,W/p,C*p*p] (pixel-unshuffle)."""
+    b, h, w, c = x.shape
+    x = x.reshape(b, h // p, p, w // p, p, c)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(b, h // p, w // p,
+                                                 p * p * c)
+
+
+def depth_to_space(x: jax.Array, p: int) -> jax.Array:
+    """Inverse of ``space_to_depth`` (pixel-shuffle)."""
+    b, h, w, cpp = x.shape
+    c = cpp // (p * p)
+    x = x.reshape(b, h, w, p, p, c)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(b, h * p, w * p, c)
+
+
+class PatchifiedUnet(nn.Module):
+    """Opt-in NON-PARITY variant: pixel-unshuffle the input p×p, run the
+    whole U-Net at H/p × W/p, pixel-shuffle the head back to full res.
+
+    Motivation (BASELINE.md round-4 448² trace): the top device-time sink
+    is bandwidth-bound full-resolution stem/decoder elementwork on
+    [B,448,448,~16] tensors; running the network at H/p shrinks every
+    full-res map p² in area. This changes the MODEL (each output pixel is
+    predicted jointly with its p×p block), so it is off by default, has no
+    reference counterpart, and checkpoints cannot be exported to the
+    torch replica. Enable with ``patchify_stem: p`` in configs.
+    """
+
+    encoder_name: str = "resnet34"
+    patch: int = 2
+    classes: int = 3
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = True) -> jax.Array:
+        p = self.patch
+        if x.shape[1] % (32 * p) or x.shape[2] % (32 * p):
+            raise ValueError(
+                f"patchify_stem={p}: H/W must be divisible by {32 * p} "
+                f"(got {x.shape[1]}x{x.shape[2]}) so the patched encoder "
+                "pyramid stays integral")
+        y = space_to_depth(x.astype(self.dtype), p)
+        y = Unet(encoder_name=self.encoder_name, in_channels=3 * p * p,
+                 classes=self.classes * p * p, dtype=self.dtype,
+                 name="unet")(y, train)
+        return depth_to_space(y, p).astype(jnp.float32)
+
+
 def create_unet(encoder_name: str = "resnet34", *, in_channels: int = 3,
-                classes: int = 3, dtype: Any = jnp.float32) -> Unet:
+                classes: int = 3, dtype: Any = jnp.float32,
+                patchify: int = 1) -> nn.Module:
     """Factory mirroring the reference's ``create_model_instance``
-    (`/root/reference/d3f/train_deep_fake/lit_module.py:49-60`)."""
+    (`/root/reference/d3f/train_deep_fake/lit_module.py:49-60`).
+    ``patchify > 1`` returns the opt-in non-parity ``PatchifiedUnet``."""
+    if patchify > 1:
+        make_encoder(encoder_name, in_channels * patchify * patchify, dtype)
+        return PatchifiedUnet(encoder_name=encoder_name, patch=patchify,
+                              classes=classes, dtype=dtype)
     make_encoder(encoder_name, in_channels, dtype)  # raise early on unknown names
     return Unet(encoder_name=encoder_name, in_channels=in_channels,
                 classes=classes, dtype=dtype)

@@ -71,7 +71,8 @@ class DeepFakeTrainer:
         self.image_size = image_size
         self.steps_per_epoch = steps_per_epoch
         dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
-        self.model = create_unet(cfg.encoder_name, dtype=dtype)
+        self.model = create_unet(cfg.encoder_name, dtype=dtype,
+                                 patchify=getattr(cfg, "patchify_stem", 1))
         self.tx = make_adam_with_cosine(
             cfg.learning_rate, b1=cfg.adam_b1, b2=cfg.adam_b2,
             cosine_t_max=cfg.cosine_t_max, steps_per_epoch=steps_per_epoch)

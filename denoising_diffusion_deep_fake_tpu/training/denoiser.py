@@ -48,7 +48,8 @@ class DenoiserTrainer:
         self.image_size = image_size
         self.steps_per_epoch = steps_per_epoch
         dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
-        self.model = create_unet(cfg.encoder_name, dtype=dtype)
+        self.model = create_unet(cfg.encoder_name, dtype=dtype,
+                                 patchify=getattr(cfg, "patchify_stem", 1))
         # Reference uses default Adam betas here (lit_module.py:95).
         self.tx = make_adam_with_cosine(
             cfg.learning_rate, b1=cfg.adam_b1, b2=cfg.adam_b2,

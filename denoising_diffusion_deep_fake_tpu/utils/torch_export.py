@@ -289,6 +289,12 @@ def export_reference_checkpoint(ckpt_dir, output_path, *,
     manager = CheckpointManager(ckpt_dir)
     meta = manager.read_meta(step)
     hparams, extra = meta["hparams"], meta.get("extra", {})
+    if int(hparams.get("patchify_stem", 1) or 1) > 1:
+        raise ValueError(
+            "this checkpoint was trained with patchify_stem > 1 — a "
+            "TPU-native non-parity architecture the reference's smp.Unet "
+            "cannot represent; export is not possible (config.py "
+            "patchify_stem note)")
     cfg = config_from_dict(DeepFakeConfig, hparams, validate=False)
     trainer = DeepFakeTrainer(cfg, steps_per_epoch=1,
                               image_size=cfg.image_size or 64)

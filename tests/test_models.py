@@ -341,3 +341,62 @@ def test_efficientnet_stochastic_depth_gating():
     np.testing.assert_array_equal(
         fwd(rngs=None, train=False), fwd(rngs={"dropout": jax.random.PRNGKey(2)},
                                          train=False))  # eval ignores the rng
+
+
+# ------------------------------------------------------- patchified stem
+
+
+def test_space_to_depth_round_trip():
+    from denoising_diffusion_deep_fake_tpu.models.unet import (
+        depth_to_space, space_to_depth)
+
+    x = jnp.asarray(np.random.default_rng(0).random((2, 8, 8, 3)),
+                    jnp.float32)
+    packed = space_to_depth(x, 2)
+    assert packed.shape == (2, 4, 4, 12)
+    np.testing.assert_array_equal(np.asarray(depth_to_space(packed, 2)),
+                                  np.asarray(x))
+    # Pixel (0,1) of sample 0 lands in block (0,0)'s second pixel slot.
+    np.testing.assert_array_equal(np.asarray(packed[0, 0, 0, 3:6]),
+                                  np.asarray(x[0, 0, 1]))
+
+
+def test_patchified_unet_forward_and_grad():
+    """Opt-in non-parity stem: in/out shapes match the plain model, the
+    whole network runs at H/p internally, and it trains (grad flows)."""
+    import jax
+
+    from denoising_diffusion_deep_fake_tpu.models import create_unet
+
+    model = create_unet("resnet18", patchify=2)
+    x = jnp.asarray(np.random.default_rng(1).random((1, 64, 64, 3)) * 2 - 1,
+                    jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    y = model.apply(variables, x, train=False)
+    assert y.shape == x.shape and y.dtype == jnp.float32
+    # Internal pyramid at 32²: the deepest encoder feature is 1² for 64/2.
+    flat = jax.tree_util.tree_leaves(variables["params"])
+    assert all(np.all(np.isfinite(np.asarray(p))) for p in flat)
+
+    def loss(params):
+        out = model.apply({"params": params,
+                           "batch_stats": variables["batch_stats"]},
+                          x, train=True, mutable=["batch_stats"])[0]
+        return jnp.mean((out - x) ** 2)
+
+    g = jax.grad(loss)(variables["params"])
+    gnorm = sum(float(jnp.sum(jnp.abs(v))) for v in
+                jax.tree_util.tree_leaves(g))
+    assert np.isfinite(gnorm) and gnorm > 0
+
+
+def test_patchify_config_validation():
+    from denoising_diffusion_deep_fake_tpu.config import (
+        DenoiserConfig, config_from_dict)
+
+    with pytest.raises(ValueError, match="patchify_stem"):
+        config_from_dict(DenoiserConfig, dict(
+            input_image_list_path="x", image_size=448, patchify_stem=4))
+    cfg = config_from_dict(DenoiserConfig, dict(
+        input_image_list_path="x", image_size=448, patchify_stem=2))
+    assert cfg.patchify_stem == 2

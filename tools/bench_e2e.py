@@ -130,7 +130,7 @@ def bench_e2e_denoiser(batch=256, size=64, steps=120, warm=20, n_images=1024,
 
 def bench_e2e_swap(batch=16, size=448, steps=40, warm=8, n_images=128,
                    upload="rgb", data_cache="host", warp="auto",
-                   steps_per_call=1, log_images=True):
+                   steps_per_call=1, log_images=True, patchify=1):
     """The reference's actual operating point: 448² crops, batch 14-16,
     two-identity swap training (`denoise_config.yml:1-14`)."""
     from denoising_diffusion_deep_fake_tpu.config import (
@@ -151,6 +151,7 @@ def bench_e2e_swap(batch=16, size=448, steps=40, warm=8, n_images=128,
             checkpoint_dir=str(tmp / "ckpt"), handle_preemption=False,
             upload_format=upload, data_cache=data_cache, warp_method=warp,
             steps_per_call=steps_per_call, log_images=log_images,
+            patchify_stem=patchify,
             last_checkpoint_min_interval_s=1e9))
         warm, steps = _align(warm, steps, steps_per_call)
         timer = StepTimer(warm, steps)
@@ -165,7 +166,8 @@ def bench_e2e_swap(batch=16, size=448, steps=40, warm=8, n_images=128,
                       + ("" if data_cache == "host" else "_devcache")
                       + ("" if warp == "auto" else f"_{warp}")
                       + ("" if steps_per_call == 1 else f"_k{steps_per_call}")
-                      + ("" if log_images else "_noimg"),
+                      + ("" if log_images else "_noimg")
+                      + ("" if patchify == 1 else f"_patch{patchify}"),
             "value": round(2 * batch / dt, 1), "unit": "imgs/sec",
             "step_ms": round(dt * 1e3, 2)}), flush=True)
     finally:
@@ -217,6 +219,12 @@ BENCHES = {
         upload="i420", log_images=False),
     "swap448_i420_k8": lambda: bench_e2e_swap(
         upload="i420", steps_per_call=8, log_images=False),
+    # Opt-in non-parity 2x2 pixel-unshuffle stem (VERDICT r4 #7 stretch):
+    # the whole U-Net runs at 224² — measures the ceiling of removing the
+    # full-resolution stem/decoder elementwork the 448² trace names as the
+    # top sink. Quality is NOT evaluated here; this row only prices it.
+    "swap448_devcache_patch2": lambda: bench_e2e_swap(
+        data_cache="device", log_images=False, patchify=2),
 }
 
 
