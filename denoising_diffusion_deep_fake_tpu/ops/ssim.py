@@ -8,9 +8,9 @@ valid pixels per image, mean over batch for the scalar reduction.
 
 Design notes (TPU): the window is separable, so each filtering pass is two 1-D
 depthwise convolutions — cheap VPU work that XLA fuses with the surrounding
-elementwise algebra. Five filtered maps (mu_x, mu_y, E[x^2], E[y^2], E[xy]) are
-computed by stacking into one conv over a 5x-channel batch so the MXU/VPU sees
-one big op instead of five small ones.
+elementwise algebra. HOW the five filtered maps (mu_x, mu_y, E[x^2], E[y^2],
+E[xy]) are computed is a measured, shape-dependent layout choice — see the
+variant comment inside ``ssim`` (bit-identical math either way).
 """
 
 from __future__ import annotations
@@ -92,27 +92,38 @@ def ssim(x: jax.Array, y: jax.Array, *, value_range: float = 1.0,
     c1 = (k1 * value_range) ** 2
     c2 = (k2 * value_range) ** 2
 
-    # One fused filtering pass over [x, y, x*x, y*y, x*y], stacked on the
-    # batch axis PER SAMPLE: stack on a new axis 1 then merge, so sample
-    # b's five maps are rows 5b..5b+4. Two constraints meet here (round 5):
-    # * a plain axis-0 concat puts each ORIGINAL sample's maps 1/5th of the
-    #   batch apart, which under data sharding straddles shard boundaries —
-    #   the SPMD partitioner inserted 62 collective-permutes + 12
-    #   all-to-alls per step to reshuffle activation chunks cross-device
-    #   (caught by the collective census, parallel/audit.py); per-sample
-    #   interleaving keeps every sample's maps on its own shard, so the
-    #   pure-DP program carries zero loss-side collectives;
-    # * stacking on the CHANNEL axis instead would be shard-clean too, but
-    #   splitting lanes at non-128-aligned offsets (3,6,9,12) forces a
-    #   relayout copy per map on TPU — measured +51 ms on the 448² swap
-    #   step. Axis-1 slicing of the [B,5,...] view is a major-dim slice:
-    #   free on TPU, shard-neutral, and bit-identical math either way.
-    b = x.shape[0]
-    stacked = jnp.stack([x, y, x * x, y * y, x * y],
-                        axis=1).reshape((5 * b,) + x.shape[1:])
-    f = _blur(stacked, kernel)
-    f = f.reshape((b, 5) + f.shape[1:])
-    mu_x, mu_y, exx, eyy, exy = (f[:, i] for i in range(5))
+    # Filtering strategy for [x, y, x*x, y*y, x*y] — chosen by STATIC shape;
+    # every variant computes bit-identical per-channel math (the blur is
+    # per-row, per-channel depthwise), so this is pure layout/fusion tuning
+    # (round-5 A/B on TPU v5e, BASELINE.md "SSIM stacking saga"):
+    # * plain axis-0 concat (rounds 1-4) is fast single-chip but puts each
+    #   sample's maps B rows apart — under data sharding the SPMD
+    #   partitioner inserted 62 collective-permutes + 12 all-to-alls per
+    #   step to reshuffle activation chunks (collective-census find). Dead.
+    # * channel-axis stacking is shard-clean but lane-slices at offsets
+    #   3/6/9/12: +51 ms on the 448² swap step. Dead.
+    # * per-sample interleave (rows 5b..5b+4 = sample b's maps) is
+    #   shard-clean; measured 219.1 ms on the 448² swap step but costs
+    #   ~2.5 ms/step on the 64² denoiser (the [5B,54,54,3] relayout).
+    # * five independent blurs let each elementwise producer emit the
+    #   conv's preferred layout directly: best at small maps (64² headline
+    #   18.2k vs 15.5k imgs/s) but +37 ms at 448² (ten lane-starved
+    #   3-channel convs lose to one 5B-row batch).
+    # Crossover sits between 64² and 448²; route small maps to the
+    # unstacked form, large ones to the per-sample interleave.
+    if x.shape[1] * x.shape[2] <= 128 * 128:
+        mu_x = _blur(x, kernel)
+        mu_y = _blur(y, kernel)
+        exx = _blur(x * x, kernel)
+        eyy = _blur(y * y, kernel)
+        exy = _blur(x * y, kernel)
+    else:
+        b = x.shape[0]
+        stacked = jnp.stack([x, y, x * x, y * y, x * y],
+                            axis=1).reshape((5 * b,) + x.shape[1:])
+        f = _blur(stacked, kernel)
+        f = f.reshape((b, 5) + f.shape[1:])
+        mu_x, mu_y, exx, eyy, exy = (f[:, i] for i in range(5))
 
     mu_xx = mu_x * mu_x
     mu_yy = mu_y * mu_y

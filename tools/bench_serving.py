@@ -433,10 +433,10 @@ def main():
     args = sys.argv[1:]
     wires = [a for a in args if a in ("rgb", "i420")]
     sampler = [a for a in args if a.startswith("sampler")]
-    impatient = [a for a in args if a == "impatient"]
+    impatient = [a for a in args if a.startswith("impatient")]
     ckpt_args = [a for a in args
-                 if a not in ("rgb", "i420", "impatient")
-                 and not a.startswith("sampler")]
+                 if a not in ("rgb", "i420")
+                 and not a.startswith(("sampler", "impatient"))]
     if ckpt_args:
         ckpt = ckpt_args[0]
     else:
@@ -451,7 +451,13 @@ def main():
             steps = int(sampler[0][len("sampler"):]) if sampler else 10
             bench_sampler(ckpt, steps)
     if impatient or not (wires or sampler):
-        bench_impatient(ckpt, "rgb")
+        # Optional timeout override: `impatient` or `impatient3000` (ms).
+        # The client timeout must sit between one device-batch time and the
+        # full queue-drain time for the row to discriminate — on a degraded
+        # tunnel (uploads ~1 s/batch) 500 ms yields zero goodput both ways.
+        ms = (impatient and impatient[0][len("impatient"):]) or ""
+        bench_impatient(ckpt, "rgb",
+                        timeout_ms=float(ms) if ms else 500.0)
 
 
 if __name__ == "__main__":
