@@ -234,10 +234,15 @@ class SwapEngine:
         return (self.height, self.width, 3)
 
     def warmup(self) -> float:
-        """Trigger the XLA compile with a zero batch; returns seconds taken."""
+        """Trigger the XLA compile with a zero batch; returns seconds taken.
+
+        Deadline-exempt (``deadline_ms=0``): warmup IS the compile — tens
+        of seconds on this host — and an engine-wide ``request_deadline_ms``
+        tuned for serving (hundreds of ms) would expire it before the
+        executable exists (caught by the round-5 deadline tests)."""
         t0 = time.perf_counter()
         zero = np.zeros((1,) + self.wire_frame_shape, np.uint8)
-        self.swap_wire(zero)
+        self.swap_wire(zero, deadline_ms=0)
         return time.perf_counter() - t0
 
     def swap(self, rgb_u8: np.ndarray, *,
