@@ -142,6 +142,14 @@ def bench_row(name: str, n_chips: int, *, steps: int, warmup: int,
 
 
 def main() -> None:
+    import os
+
+    if os.environ.get("JAX_PLATFORMS"):
+        # This image's jax ignores the env var (CLAUDE.md); re-apply so the
+        # documented CPU-mesh validation line actually lands on CPU.
+        import jax
+
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
     import jax
 
     p = argparse.ArgumentParser()
