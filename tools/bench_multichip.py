@@ -16,11 +16,16 @@ Per chip-count ``n`` (weak scaling: global batch = per-chip batch x n):
   per-step MiB of all-reduce / all-gather / collective-permute — the
   predicted ICI traffic to hold against the measured efficiency.
 
-Validation on THIS host (no multi-chip): run under the virtual CPU mesh —
+Validation on THIS host (no multi-chip): run under the virtual CPU mesh
+with SMALL shapes (the 1-core host takes ~10 min to compile one b256
+resnet34 step; the real-hardware defaults are hopeless there) —
   JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
-      python tools/bench_multichip.py denoiser64 --chips 1,2,4,8 --census
-(CPU rows are functional smoke, not performance; tests/test_collective_census.py
-compile-checks this path in CI.)
+      python tools/bench_multichip.py denoiser64 --chips 1,2,4 \
+      --batch 8 --encoder resnet18 --census
+(CPU rows are functional smoke, not performance;
+tests/test_collective_census.py compile-checks this path in CI. The
+real-chip path is proven: an n1 row captured 13,564 imgs/s on this host's
+TPU.)
 
 Usage: python tools/bench_multichip.py [denoiser64|swap448|swap448_spatial]
            [--chips 1,2,4] [--steps 12] [--census]
@@ -101,13 +106,16 @@ def _build(workload: str, mesh, *, image_size: int, batch: int,
 
 
 def bench_row(name: str, n_chips: int, *, steps: int, warmup: int,
-              census: bool) -> dict:
+              census: bool, batch_override: int | None = None,
+              encoder_override: str | None = None) -> dict:
     import jax
 
     from denoising_diffusion_deep_fake_tpu.parallel import create_mesh
     from denoising_diffusion_deep_fake_tpu.utils.timing import timed_loop
 
     workload, size, per_chip, encoder, spatial = WORKLOADS[name]
+    per_chip = batch_override or per_chip
+    encoder = encoder_override or encoder
     if n_chips % spatial:
         raise ValueError(f"{name} needs chips % {spatial} == 0")
     mesh = create_mesh(n_chips // spatial, spatial=spatial,
@@ -160,6 +168,10 @@ def main() -> None:
                         "to what exists)")
     p.add_argument("--steps", type=int, default=12)
     p.add_argument("--warmup", type=int, default=3)
+    p.add_argument("--batch", type=int, default=None,
+                   help="override per-chip batch (CPU validation: use 8)")
+    p.add_argument("--encoder", default=None,
+                   help="override encoder (CPU validation: resnet18)")
     p.add_argument("--census", action="store_true",
                    help="also compile-audit each row's collectives "
                         "(parallel/audit.py; one extra compile per row)")
@@ -181,7 +193,9 @@ def main() -> None:
                   flush=True)
             continue
         row = bench_row(args.workload, n, steps=args.steps,
-                        warmup=args.warmup, census=args.census)
+                        warmup=args.warmup, census=args.census,
+                        batch_override=args.batch,
+                        encoder_override=args.encoder)
         if base is None:
             base = row["value"] / row["chips"]
         row["scaling_efficiency"] = round(
